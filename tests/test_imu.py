@@ -1,0 +1,106 @@
+import numpy as np
+import jax.numpy as jnp
+
+from noetic_slam_tpu.ops import imu as imu_ops
+from tests import reference_math as ref
+
+
+def _synthetic_imu(rng, n=40, hz=100.0):
+    """Smooth random angular velocity + accel profile with gravity."""
+    stamps = np.arange(n) / hz
+    t = stamps[:, None]
+    ang = 0.4 * np.sin(2 * np.pi * 0.7 * t + np.array([0.0, 1.0, 2.0]))
+    # body-frame specific force: gravity reaction + small motion
+    acc = np.array([0.0, 0.0, 9.80665]) + 0.5 * np.cos(
+        2 * np.pi * 0.5 * t + np.array([0.5, 1.5, 2.5]))
+    return stamps, ang, acc
+
+
+def test_integrate_imu_matches_reference_model(rng):
+    stamps, ang, acc = _synthetic_imu(rng)
+    start_time = stamps[0] + 0.004
+    queries = np.sort(rng.uniform(start_time, stamps[-1] - 0.002, size=17))
+
+    q0 = np.array([0.9, 0.1, -0.2, 0.15])
+    q0 /= np.linalg.norm(q0)
+    p0 = np.array([1.0, -2.0, 0.5])
+    v0 = np.array([0.3, 0.1, -0.05])
+
+    want_q, want_p = ref.integrate_imu_ref(
+        stamps, ang, acc, start_time, q0, p0, v0, queries)
+
+    window = imu_ops.pad_window(
+        jnp.asarray(stamps, jnp.float32), jnp.asarray(ang, jnp.float32),
+        jnp.asarray(acc, jnp.float32), len(stamps), capacity=64)
+    got_q, got_p, ok = imu_ops.integrate_imu(
+        window, jnp.float32(start_time), jnp.asarray(q0, jnp.float32),
+        jnp.asarray(p0, jnp.float32), jnp.asarray(v0, jnp.float32),
+        jnp.asarray(queries, jnp.float32))
+
+    assert bool(ok)
+    got_q, got_p = np.asarray(got_q), np.asarray(got_p)
+    sign = np.sign(np.sum(got_q * want_q, axis=-1, keepdims=True))
+    np.testing.assert_allclose(got_q * sign, want_q, atol=2e-5)
+    np.testing.assert_allclose(got_p, want_p, atol=2e-4)
+
+
+def test_integrate_imu_stationary_gravity():
+    """A stationary IMU measuring exactly gravity must integrate to rest."""
+    n = 32
+    stamps = np.arange(n) / 100.0
+    ang = np.zeros((n, 3))
+    acc = np.tile([0.0, 0.0, 9.80665], (n, 1))
+    queries = np.array([0.05, 0.1, 0.2])
+    window = imu_ops.pad_window(
+        jnp.asarray(stamps, jnp.float32), jnp.asarray(ang, jnp.float32),
+        jnp.asarray(acc, jnp.float32), n, capacity=64)
+    q, p, ok = imu_ops.integrate_imu(
+        window, jnp.float32(0.004), jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+        jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.asarray(queries, jnp.float32))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(p), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q)[:, 0], 1.0, atol=1e-6)
+
+
+def test_integrate_imu_coverage_flag():
+    stamps = np.arange(10) / 100.0
+    window = imu_ops.pad_window(
+        jnp.asarray(stamps, jnp.float32), jnp.zeros((10, 3), jnp.float32),
+        jnp.zeros((10, 3), jnp.float32), 10, capacity=16)
+    # query beyond the last valid sample -> not ok
+    _, _, ok = imu_ops.integrate_imu(
+        window, jnp.float32(0.004), jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+        jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.asarray([0.5], jnp.float32))
+    assert not bool(ok)
+
+
+def test_slice_imu_window():
+    stamps = jnp.asarray(np.arange(100) / 100.0, jnp.float32)
+    ang = jnp.zeros((100, 3), jnp.float32)
+    acc = jnp.zeros((100, 3), jnp.float32)
+    w = imu_ops.slice_imu_window(stamps, ang, acc, jnp.int32(100),
+                                 jnp.float32(0.305), jnp.float32(0.402), 32)
+    # window starts at newest sample < 0.305 => 0.30
+    np.testing.assert_allclose(float(w.stamps[0]), 0.30, atol=1e-6)
+    # covers through first sample >= 0.402 => 0.41 => count = idx(0.41)-idx(0.30)+1
+    assert int(w.count) == 12
+
+
+def test_propagate_state_batch_matches_reference(rng):
+    stamps, ang, acc = _synthetic_imu(rng, n=20)
+    q0 = np.array([1.0, 0.0, 0.0, 0.0])
+    p0 = np.zeros(3)
+    v0 = np.array([0.1, 0.0, 0.0])
+    want_q, want_p, want_v = ref.propagate_state_ref(q0, p0, v0, stamps, ang,
+                                                     acc)
+    window = imu_ops.pad_window(
+        jnp.asarray(stamps, jnp.float32), jnp.asarray(ang, jnp.float32),
+        jnp.asarray(acc, jnp.float32), len(stamps), capacity=32)
+    got_q, got_p, got_v = imu_ops.propagate_state_batch(
+        jnp.asarray(q0, jnp.float32), jnp.asarray(p0, jnp.float32),
+        jnp.asarray(v0, jnp.float32), window, window.count)
+    np.testing.assert_allclose(np.asarray(got_q), want_q, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_p), want_p, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_v), want_v, atol=1e-4)

@@ -1,0 +1,65 @@
+import numpy as np
+import jax.numpy as jnp
+
+from noetic_slam_tpu.ops import neighbors
+from noetic_slam_tpu.ops.pointcloud import SENTINEL
+
+
+def _brute_nn(query, target):
+    d = ((query[:, None, :] - target[None, :, :]) ** 2).sum(-1)
+    return d.argmin(1), d.min(1)
+
+
+def test_nn1_matches_bruteforce(rng):
+    q = rng.normal(size=(256, 3)).astype(np.float32) * 10
+    t = rng.normal(size=(512, 3)).astype(np.float32) * 10
+    idx, sqd = neighbors.nn1(jnp.asarray(q), jnp.asarray(t),
+                             query_chunk=64, target_chunk=128)
+    widx, wsqd = _brute_nn(q, t)
+    np.testing.assert_array_equal(np.asarray(idx), widx)
+    np.testing.assert_allclose(np.asarray(sqd), wsqd, rtol=1e-5)
+
+
+def test_nn1_large_offset(rng):
+    """World coordinates far from origin must not break f32 conditioning."""
+    off = np.array([3000.0, -2000.0, 50.0], np.float32)
+    q = rng.normal(size=(128, 3)).astype(np.float32) + off
+    t = rng.normal(size=(256, 3)).astype(np.float32) + off
+    idx, sqd = neighbors.nn1(jnp.asarray(q), jnp.asarray(t),
+                             query_chunk=64, target_chunk=128)
+    widx, wsqd = _brute_nn(q, t)
+    match = (np.asarray(idx) == widx).mean()
+    assert match > 0.99, f"only {match:.2%} NN matched at large offset"
+    np.testing.assert_allclose(np.asarray(sqd), wsqd, rtol=1e-3, atol=1e-4)
+
+
+def test_nn1_ignores_sentinel_targets(rng):
+    q = rng.normal(size=(64, 3)).astype(np.float32)
+    t = np.full((128, 3), SENTINEL, np.float32)
+    t[:32] = rng.normal(size=(32, 3)).astype(np.float32)
+    idx, sqd = neighbors.nn1(jnp.asarray(q), jnp.asarray(t),
+                             query_chunk=64, target_chunk=64)
+    assert np.asarray(idx).max() < 32
+
+
+def test_knn_matches_bruteforce(rng):
+    q = rng.normal(size=(128, 3)).astype(np.float32) * 5
+    t = rng.normal(size=(256, 3)).astype(np.float32) * 5
+    k = 8
+    idx, sqd = neighbors.knn(jnp.asarray(q), jnp.asarray(t), k,
+                             query_chunk=64, target_chunk=64)
+    d = ((q[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+    want_idx = np.argsort(d, axis=1)[:, :k]
+    want_d = np.take_along_axis(d, want_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(sqd), want_d, rtol=1e-4, atol=1e-5)
+    # index sets must match (ordering ties aside)
+    for i in range(128):
+        assert set(np.asarray(idx)[i]) == set(want_idx[i])
+
+
+def test_knn_self_query_includes_self(rng):
+    pts = rng.normal(size=(64, 3)).astype(np.float32)
+    idx, sqd = neighbors.knn(jnp.asarray(pts), jnp.asarray(pts), 4,
+                             query_chunk=64, target_chunk=64)
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(64))
+    np.testing.assert_allclose(np.asarray(sqd)[:, 0], 0.0, atol=1e-6)
