@@ -98,7 +98,10 @@ def prepare_scan(scan: Scan, max_frames: int) -> PreparedScan:
     first = jnp.concatenate([jnp.ones((1,), bool), t[1:] != t[:-1]]) & valid
     frame_idx = jnp.cumsum(first.astype(jnp.int32)) - 1
     frame_idx = jnp.clip(frame_idx, 0, max_frames - 1)
-    unique_count = first.sum().astype(jnp.int32)
+    # If the scan has more unique timestamps than frame capacity, the excess
+    # points share the last frame (graceful degradation; capacity should be
+    # sized to columns_per_frame).
+    unique_count = jnp.minimum(first.sum(), max_frames).astype(jnp.int32)
 
     # Scatter unique times into a fixed-capacity array; pad with the last
     # valid unique time so out-of-range queries stay in-range for the

@@ -1,0 +1,102 @@
+"""End-to-end odometry: synthetic world replay through the full pipeline.
+
+The framework-level equivalent of the reference's bag-replay validation
+(SURVEY.md §4): simulate a vehicle with consistent LiDAR+IMU streams, run
+the jitted odometry step over every sweep, and bound the absolute
+trajectory error against ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from noetic_slam_tpu.config.params import CapacityConfig, DlioConfig
+from noetic_slam_tpu.runtime.pipeline import NeedMoreImu, OdometryPipeline
+from noetic_slam_tpu.utils import synthetic
+
+
+def small_cfg(**kw):
+    return DlioConfig(
+        capacity=CapacityConfig(
+            max_points=4096, max_ds_points=2048, max_deskew_frames=1024,
+            max_imu_window=64, max_keyframes=32, max_submap_kf=8),
+        **kw)
+
+
+def replay(sim, cfg, n_scans=None):
+    pipe = OdometryPipeline(cfg)
+    imu_i = 0
+    n = len(sim.scan_stamps) if n_scans is None else n_scans
+    for s in range(n):
+        header, xyz, pt = sim.scan(s)
+        sweep_end = header + pt.max()
+        # feed IMU through the sweep end (+1 sample), like the cv-wait
+        while (imu_i < len(sim.imu_stamps)
+               and (sim.imu_stamps[imu_i] <= sweep_end + 0.02)):
+            pipe.push_imu(sim.imu_stamps[imu_i], sim.imu_ang[imu_i],
+                          sim.imu_acc[imu_i])
+            imu_i += 1
+        pipe.process_scan(header, xyz, pt)
+    return pipe
+
+
+@pytest.mark.slow
+def test_odometry_tracks_synthetic_trajectory():
+    sim = synthetic.make_sim(duration=2.0, n_points=2048, calib_time=3.1,
+                             seed=1)
+    pipe = replay(sim, small_cfg())
+    traj = pipe.trajectory_array()
+    assert pipe.num_processed == len(sim.scan_stamps)
+    ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
+                             sim.gt_pos)
+    # ~2.6 m traveled over 2 s; demand cm-level tracking.
+    assert ate < 0.05, f"ATE RMSE {ate:.3f} m"
+
+
+@pytest.mark.slow
+def test_odometry_without_deskew():
+    """MulRan-style input: no per-point times -> rigid prior only."""
+    sim = synthetic.make_sim(duration=1.5, n_points=2048, calib_time=3.1,
+                             seed=2)
+    pipe = OdometryPipeline(small_cfg())
+    imu_i = 0
+    for s in range(len(sim.scan_stamps)):
+        header, xyz, pt = sim.scan(s)
+        while (imu_i < len(sim.imu_stamps)
+               and sim.imu_stamps[imu_i] <= header + 0.02):
+            pipe.push_imu(sim.imu_stamps[imu_i], sim.imu_ang[imu_i],
+                          sim.imu_acc[imu_i])
+            imu_i += 1
+        pipe.process_scan(header, xyz, point_times=None)
+    traj = pipe.trajectory_array()
+    ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
+                             sim.gt_pos)
+    # No deskew: motion distortion... none here because points are emitted
+    # instantaneously at the header stamp by the generator when pt is unused
+    # — but the generator still smears points over the sweep, so tolerate
+    # decimeter-level error.
+    assert ate < 0.25, f"ATE RMSE {ate:.3f} m"
+
+
+def test_pipeline_blocks_without_imu():
+    sim = synthetic.make_sim(duration=0.5, n_points=512, calib_time=0.0,
+                             seed=3)
+    cfg = small_cfg(imu=DlioConfig().imu.__class__(
+        calibrate_gyro=False, calibrate_accel=False, gravity_align=False))
+    pipe = OdometryPipeline(cfg)
+    header, xyz, pt = sim.scan(0)
+    with pytest.raises(NeedMoreImu):
+        pipe.process_scan(header, xyz, pt)
+
+
+def test_pipeline_skips_empty_scan():
+    sim = synthetic.make_sim(duration=0.5, n_points=512, calib_time=0.0,
+                             seed=4)
+    cfg = small_cfg(imu=DlioConfig().imu.__class__(
+        calibrate_gyro=False, calibrate_accel=False, gravity_align=False))
+    pipe = OdometryPipeline(cfg)
+    for i in range(len(sim.imu_stamps)):
+        pipe.push_imu(sim.imu_stamps[i], sim.imu_ang[i], sim.imu_acc[i])
+    out = pipe.process_scan(0.0, np.full((100, 3), np.nan, np.float32),
+                            np.zeros(100))
+    assert not out["processed"]
+    assert pipe.num_skipped == 1
