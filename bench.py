@@ -1,0 +1,94 @@
+"""Benchmark: odometry scans/sec on one chip (synthetic replay).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is the real-time factor against the reference's operating
+point: DLIO is designed to run online at the LiDAR rate, 10 Hz
+(src/ouster/launch/driver.launch:15-21; the repo publishes no benchmark
+table — BASELINE.md), so vs_baseline = scans_per_sec / 10.
+
+Env knobs: BENCH_TINY=1 (CPU smoke test), BENCH_SCANS=N (default 40).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    n_scans = int(os.environ.get("BENCH_SCANS", "20" if tiny else "40"))
+
+    import jax
+
+    from noetic_slam_tpu.config.params import CapacityConfig, DlioConfig
+    from noetic_slam_tpu.runtime.pipeline import OdometryPipeline
+    from noetic_slam_tpu.utils import synthetic
+
+    if tiny:
+        cap = CapacityConfig(
+            max_points=2048, max_ds_points=1024, max_deskew_frames=512,
+            max_imu_window=64, max_keyframes=32, max_submap_kf=4)
+        n_pts = 2048
+    else:
+        # Production-ish capacities: OS1-64-class scans (~65k raw points,
+        # ~8k after 0.25 m voxel downsample), 10-keyframe submaps.
+        cap = CapacityConfig(
+            max_points=32768, max_ds_points=8192, max_deskew_frames=2048,
+            max_imu_window=128, max_keyframes=128, max_submap_kf=8)
+        n_pts = 32768
+    cfg = DlioConfig(capacity=cap)
+
+    dur = n_scans / 10.0 + 0.3
+    sim = synthetic.make_sim(duration=dur, n_points=n_pts, calib_time=3.1,
+                             seed=7)
+
+    # Pre-generate all scans (host-side data prep excluded from timing).
+    scans = [sim.scan(i) for i in range(min(n_scans, len(sim.scan_stamps)))]
+
+    pipe = OdometryPipeline(cfg)
+    imu_i = 0
+
+    def feed_imu(through):
+        nonlocal imu_i
+        while (imu_i < len(sim.imu_stamps)
+               and sim.imu_stamps[imu_i] <= through):
+            pipe.push_imu(sim.imu_stamps[imu_i], sim.imu_ang[imu_i],
+                          sim.imu_acc[imu_i])
+            imu_i += 1
+
+    # Warmup: first 3 scans (compile + bootstrap).
+    t_steady = None
+    n_timed = 0
+    for s, (header, xyz, pt) in enumerate(scans):
+        feed_imu(header + pt.max() + 0.02)
+        out = pipe.process_scan(header, xyz, pt)
+        jax.block_until_ready(out["world_xyz"])
+        if s == 2:
+            t_steady = time.perf_counter()
+        elif s > 2:
+            n_timed += 1
+    dt = time.perf_counter() - t_steady
+    scans_per_sec = n_timed / dt
+
+    traj = pipe.trajectory_array()
+    ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
+                             sim.gt_pos)
+
+    result = {
+        "metric": "odometry_scans_per_sec_1chip",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 10.0, 3),
+    }
+    print(json.dumps(result))
+    print(f"# ate_rmse_m={ate:.4f} n_timed={n_timed} "
+          f"keyframes={int(pipe.state.kf_count)} "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

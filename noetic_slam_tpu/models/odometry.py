@@ -384,8 +384,16 @@ def gather_submap(cfg: DlioConfig, state: OdomState, mask: Array):
 # The per-scan step
 # ---------------------------------------------------------------------------
 
-def make_odometry_step(cfg: DlioConfig):
-    """Build the jittable odometry step closed over the static config."""
+def make_odometry_step(cfg: DlioConfig, align_fn=None):
+    """Build the jittable odometry step closed over the static config.
+
+    ``align_fn(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov, cfg,
+    max_corr_dist) -> AlignResult`` defaults to the single-device GICP; the
+    distributed path passes parallel.registration.sharded_gicp_align bound
+    to a mesh (target buffers then shard along the map axis).
+    """
+    if align_fn is None:
+        align_fn = gicp_ops.gicp_align
 
     cap = cfg.capacity
     ext_R = jnp.asarray(cfg.extrinsics.baselink2lidar_R,
@@ -490,7 +498,7 @@ def make_odometry_step(cfg: DlioConfig):
 
         # ---- branch: full registration step (getNextPose, odom.cc:984) ----
         def register(state):
-            res = gicp_ops.gicp_align(
+            res = align_fn(
                 ds_xyz, ds_valid, src_cov, state.submap_xyz,
                 state.submap_cov, cfg.gicp, max_corr_dist=max_corr)
             T_corr = res.T
