@@ -60,21 +60,25 @@ def main():
                           sim.imu_acc[imu_i])
             imu_i += 1
 
-    # Warmup: first 3 scans (compile + bootstrap).
+    # Warmup: first 3 scans (compile + bootstrap); then fully async
+    # submission — the device trajectory ring absorbs outputs and a single
+    # block_until_ready at the end closes the timing window.
     t_steady = None
     n_timed = 0
+    out = None
     for s, (header, xyz, pt) in enumerate(scans):
         feed_imu(header + pt.max() + 0.02)
         out = pipe.process_scan(header, xyz, pt)
-        jax.block_until_ready(out["world_xyz"])
         if s == 2:
+            jax.block_until_ready(out.world_xyz)
             t_steady = time.perf_counter()
         elif s > 2:
             n_timed += 1
+    jax.block_until_ready(out.world_xyz)
     dt = time.perf_counter() - t_steady
     scans_per_sec = n_timed / dt
 
-    traj = pipe.trajectory_array()
+    traj = pipe.flush()
     ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
                              sim.gt_pos)
 

@@ -126,6 +126,8 @@ class CapacityConfig:
     max_kf_points: int = 4096          # points stored per keyframe
     max_submap_kf: int = 32            # keyframes per submap (knn+kcv+kcc+pad)
     # submap point capacity = max_submap_kf * max_kf_points
+    max_trajectory: int = 16384        # device trajectory ring (flush before
+                                       # this many processed scans)
 
 
 @dataclass(frozen=True)

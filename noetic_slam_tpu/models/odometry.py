@@ -93,23 +93,67 @@ class OdomState(NamedTuple):
     density: Array      # ()
     source_density: Array  # () density of last GICP source cloud
     keyframe_thresh_dist: Array  # () adaptive threshD
+    # Device-side time bookkeeping (offsets relative to the LAST header
+    # stamp seen; the host only ever sends header-to-header deltas, so no
+    # per-scan device->host stamp fetch is needed).
+    prev_stamp_off: Array   # () rel. time of previous scan stamp
+    prop_off: Array         # () propagation boundary offset
+    # Trajectory ring buffer — flushed to host in bulk (runtime.flush()),
+    # replacing the reference's per-scan publishToROS (odom.cc:315-488).
+    traj: Array             # (Tcap, 12): step_idx, stamp, p(3), q(4),
+                            #             is_kf, n_corr, iters
     # Bookkeeping
     num_scans: Array    # () int32 processed scans
+    total_steps: Array  # () int32 step invocations (incl. skipped)
 
 
 class StepInput(NamedTuple):
-    """One scan + its IMU context, rebased to the scan header stamp."""
+    """One scan + its IMU context, packed into three host->device transfers
+    (each small transfer through the device tunnel has multi-ms fixed cost,
+    so leaves are minimized).
 
-    xyz: Array          # (N, 3) sensor-frame points
-    t: Array            # (N,) per-point rel. time [s] (zeros if none)
-    valid: Array        # (N,) bool
-    deskew: Array       # () bool — sensor provides per-point time
-    imu_stamps: Array   # (M,) rel. time, sorted, raw samples
-    imu_ang: Array      # (M, 3) raw gyro [rad/s]
-    imu_acc: Array      # (M, 3) raw accel [m/s^2]
-    imu_count: Array    # () int32
-    prev_stamp: Array   # () rel. time of previous scan stamp (negative)
-    prop_start: Array   # () rel. time boundary already propagated through
+    times are seconds relative to THIS scan's header stamp."""
+
+    points: Array       # (N, 5): x, y, z, t, valid
+    imu: Array          # (M, 7): stamp, wx, wy, wz, fx, fy, fz (raw)
+    scalars: Array      # (4,): header_delta (header_now - header_prev),
+                        #       deskew flag, imu_count, pad
+
+    @property
+    def xyz(self):
+        return self.points[:, :3]
+
+    @property
+    def t(self):
+        return self.points[:, 3]
+
+    @property
+    def valid(self):
+        return self.points[:, 4] > 0.5
+
+    @property
+    def imu_stamps(self):
+        return self.imu[:, 0]
+
+    @property
+    def imu_ang(self):
+        return self.imu[:, 1:4]
+
+    @property
+    def imu_acc(self):
+        return self.imu[:, 4:7]
+
+    @property
+    def header_delta(self):
+        return self.scalars[0]
+
+    @property
+    def deskew(self):
+        return self.scalars[1] > 0.5
+
+    @property
+    def imu_count(self):
+        return self.scalars[2].astype(jnp.int32)
 
 
 class StepOutput(NamedTuple):
@@ -158,7 +202,11 @@ def init_state(cfg: DlioConfig, q0=None, ba0=None, bg0=None) -> OdomState:
         spaciousness=jnp.asarray(0.0, f32), density=jnp.asarray(0.0, f32),
         source_density=jnp.asarray(0.0, f32),
         keyframe_thresh_dist=jnp.asarray(cfg.keyframe.thresh_dist, f32),
+        prev_stamp_off=jnp.asarray(0.0, f32),
+        prop_off=jnp.asarray(0.0, f32),
+        traj=jnp.zeros((cap.max_trajectory, 12), f32),
         num_scans=jnp.int32(0),
+        total_steps=jnp.int32(0),
     )
 
 
@@ -426,12 +474,15 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
             scan_stamp)
         sweep_end = jnp.maximum(sweep_end, scan_stamp)
 
+        prev_stamp = state.prev_stamp_off - inp.header_delta
+        prop_start = state.prop_off - inp.header_delta
+
         window = imu_ops.slice_imu_window(
             inp.imu_stamps, w_corr, a_corr, inp.imu_count,
-            inp.prev_stamp, sweep_end, cap.max_imu_window)
+            prev_stamp, sweep_end, cap.max_imu_window)
 
         frames_q, frames_p, imu_ok = imu_ops.integrate_imu(
-            window, inp.prev_stamp, state.lidar_q, state.lidar_p,
+            window, prev_stamp, state.lidar_q, state.lidar_p,
             state.prev_vel, prep.unique_t, cfg.gravity)
 
         first_scan = state.kf_count == 0
@@ -472,7 +523,7 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
         # first_opt_done as in odom.cc:976-979.)
         prop_window = imu_ops.slice_imu_window(
             inp.imu_stamps, w_corr, a_corr, inp.imu_count,
-            inp.prop_start, sweep_end, cap.max_imu_window)
+            prop_start, sweep_end, cap.max_imu_window)
         q_prop, p_prop, v_prop = imu_ops.propagate_state_batch(
             state.q, state.p, state.v, prop_window, prop_window.count,
             cfg.gravity)
@@ -506,7 +557,7 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
             lq, lp = se3_q_p(T_new)       # propagateGICP, odom.cc:1230-1246
             st = state._replace(T=T_new, T_corr=T_corr, T_prior=T_prior,
                                 lidar_q=lq, lidar_p=lp)
-            st = geo_update(cfg, st, scan_stamp - inp.prev_stamp)
+            st = geo_update(cfg, st, scan_stamp - prev_stamp)
 
             is_kf = keyframe_decision(st, threshD, cfg.keyframe.thresh_rot)
             kf_cloud = transform_cloud(ds_xyz, ds_valid, T_corr)
@@ -528,19 +579,34 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
         def process(state):
             st, (is_kf, diag) = jax.lax.cond(
                 first_scan, bootstrap, register, state)
+            row = jnp.concatenate([
+                st.total_steps.astype(jnp.float32)[None], scan_stamp[None],
+                st.lidar_p, st.lidar_q,
+                is_kf.astype(jnp.float32)[None],
+                diag[2].astype(jnp.float32)[None],
+                diag[0].astype(jnp.float32)[None]])
+            ti = jnp.minimum(st.num_scans, cap.max_trajectory - 1)
             st = st._replace(
                 spaciousness=sp_lpf, density=den_lpf,
                 source_density=src_density, keyframe_thresh_dist=threshD,
+                prev_stamp_off=scan_stamp,
+                traj=st.traj.at[ti].set(row),
                 num_scans=st.num_scans + 1)
             return st, (is_kf, diag)
 
         def skip(state):
             # Low point count: drop the scan (odom.cc:764-767). The observer
-            # propagation above still applies (IMU-rate path runs regardless).
-            return state, (jnp.array(False), zero_diag)
+            # propagation above still applies (IMU-rate path runs regardless),
+            # so the propagation boundary advances either way; prev_stamp
+            # keeps pointing at the last processed scan.
+            return state._replace(
+                prev_stamp_off=prev_stamp), (jnp.array(False), zero_diag)
 
         new_state, (is_kf, diag) = jax.lax.cond(
             enough_points, process, skip, state)
+        new_state = new_state._replace(
+            prop_off=jnp.maximum(sweep_end, prop_start),
+            total_steps=new_state.total_steps + 1)
 
         # Output world cloud: deskewed cloud corrected by T_corr
         # (publishToROS, odom.cc:434-451).

@@ -8,11 +8,15 @@ object that
   odom.h:220-223) in float64 absolute time on the host;
 - performs the 3-second static IMU calibration + gravity alignment
   (odom.cc:863-948) before the first scan is processed;
-- rebases every per-step time to the scan header stamp (device arrays are
-  float32 *relative* seconds — absolute float64 stays here);
-- pads/truncates scans to the static capacities and invokes the jitted
-  odometry step with donated state;
-- accumulates the trajectory + keyframe/map outputs.
+- rebases per-step times: the device only ever receives *header-to-header
+  deltas* plus point/IMU times relative to the current header — all other
+  time bookkeeping (previous scan stamp, propagation boundary) lives in the
+  device state, so a scan can be submitted without any device->host fetch;
+- packs each scan into three device transfers (points / imu / scalars) and
+  invokes the jitted odometry step with donated state — fully async. The
+  device appends each pose to an on-device trajectory ring which ``flush()``
+  retrieves in one bulk transfer (the reference's per-scan publish threads,
+  odom.cc:315-488, become this batched readback).
 
 The blocking LiDAR↔IMU sync (odom.cc:1024-1028 cv wait) becomes a data-
 availability precondition: ``process_scan`` raises ``NeedMoreImu`` when the
@@ -47,17 +51,20 @@ class TrajectoryEntry:
     stamp: float                 # absolute seconds
     p: np.ndarray                # (3,)
     q: np.ndarray                # (4,) wxyz
+    is_keyframe: bool
+    num_corr: int
+    gicp_iterations: int
 
 
 class OdometryPipeline:
-    def __init__(self, cfg: DlioConfig | None = None, jit: bool = True):
+    def __init__(self, cfg: DlioConfig | None = None, jit: bool = True,
+                 align_fn=None):
         self.cfg = cfg or DlioConfig()
-        self._step = make_odometry_step(self.cfg)
+        self._step = make_odometry_step(self.cfg, align_fn=align_fn)
         if jit:
             self._step = jax.jit(self._step, donate_argnums=(0,))
         self.state: Optional[OdomState] = None
 
-        # IMU circular buffer (host, float64 stamps).
         n = self.cfg.imu.buffer_size
         self._imu_stamps = np.zeros((0,), np.float64)
         self._imu_ang = np.zeros((0, 3), np.float64)
@@ -72,12 +79,12 @@ class OdometryPipeline:
         self._calib_gyro: List[np.ndarray] = []
         self._calib_accel: List[np.ndarray] = []
 
-        self.prev_scan_stamp: Optional[float] = None   # absolute
-        self.prop_boundary: Optional[float] = None     # absolute
+        self.prev_header: Optional[float] = None
+        self.headers: List[float] = []      # header stamp per submitted step
         self.first_scan_stamp: Optional[float] = None
         self.trajectory: List[TrajectoryEntry] = []
-        self.num_processed = 0
-        self.num_skipped = 0
+        self._flushed_scans = 0
+        self.last_output = None             # StepOutput of last submit
 
     # ------------------------------------------------------------------ IMU
     def push_imu(self, stamp: float, ang_vel, lin_accel) -> None:
@@ -102,8 +109,7 @@ class OdometryPipeline:
         """Static bias + gravity-alignment estimate (odom.cc:889-948).
 
         Note: raw samples here are in the IMU frame; the reference calibrates
-        on extrinsically-rotated samples. For identity-rotation extrinsics
-        (the common config) these coincide; otherwise rotate first.
+        on extrinsically-rotated samples, so rotate first.
         """
         R = np.asarray(self.cfg.extrinsics.baselink2imu_R).reshape(3, 3)
         gyro_avg = R @ np.mean(self._calib_gyro, axis=0)
@@ -119,7 +125,8 @@ class OdometryPipeline:
             grav_est = accel_avg - ba
             grav_est = grav_est / np.linalg.norm(grav_est) * abs(g)
             # FromTwoVectors(grav_est, +g e_z) (odom.cc:901-903).
-            a, b = grav_est / np.linalg.norm(grav_est), np.array([0.0, 0, 1.0])
+            a = grav_est / np.linalg.norm(grav_est)
+            b = np.array([0.0, 0, 1.0])
             c = np.cross(a, b)
             w = 1.0 + a.dot(b)
             q0 = np.concatenate([[w], c])
@@ -138,10 +145,11 @@ class OdometryPipeline:
         return len(self._imu_stamps) > 0 and self._imu_stamps[-1] >= stamp
 
     def process_scan(self, header_stamp: float, xyz: np.ndarray,
-                     point_times: Optional[np.ndarray] = None) -> dict:
-        """Process one scan. ``point_times`` are per-point offsets [s] from
-        ``header_stamp`` (None -> no deskew, HESAI-style absolute stamps must
-        be rebased by the caller). Returns a dict of step outputs.
+                     point_times: Optional[np.ndarray] = None):
+        """Submit one scan (async — no device sync). ``point_times`` are
+        per-point offsets [s] from ``header_stamp`` (None -> no deskew).
+        Returns the raw StepOutput (device arrays; don't force them unless
+        needed). Trajectory/pose results are collected via ``flush()``.
         """
         if not self.calibrated:
             raise NeedMoreImu("IMU calibration in progress")
@@ -160,80 +168,77 @@ class OdometryPipeline:
 
         deskew = (point_times is not None and self.cfg.preproc.deskew)
         pt = np.zeros(m, np.float64) if point_times is None else point_times
-        sweep_end_abs = header_stamp + (float(pt.max()) if deskew else 0.0)
+        sweep_end_abs = header_stamp + (float(pt.max()) if deskew and m else 0.0)
         if not self.imu_covers(sweep_end_abs):
             raise NeedMoreImu(f"IMU must cover {sweep_end_abs:.6f}")
 
         if self.first_scan_stamp is None:
             self.first_scan_stamp = header_stamp
-        prev_stamp = (self.prev_scan_stamp if self.prev_scan_stamp is not None
-                      else header_stamp)
-        prop_start = (self.prop_boundary if self.prop_boundary is not None
-                      else header_stamp)
+        header_delta = (0.0 if self.prev_header is None
+                        else header_stamp - self.prev_header)
 
-        xyz_p = np.full((n, 3), 1e6, np.float32)
-        t_p = np.zeros((n,), np.float32)
-        valid = np.zeros((n,), bool)
-        xyz_p[:m] = xyz
-        t_p[:m] = pt
-        valid[:m] = np.all(np.isfinite(xyz), axis=-1)
+        points = np.full((n, 5), 1e6, np.float32)
+        points[:m, :3] = xyz
+        points[:m, 3] = pt
+        points[:m, 4] = np.all(np.isfinite(xyz), axis=-1)
+        points[m:, 4] = 0.0
 
-        # IMU window: rebase stamps to header, take the most recent samples.
-        rel = (self._imu_stamps - header_stamp).astype(np.float32)
+        # IMU window rebased to this header (float64 subtraction on host).
         M = cap.max_imu_window
-        # keep samples from a bit before prev scan through the end.
-        lo = np.searchsorted(self._imu_stamps,
-                             min(prev_stamp, prop_start)) - 4
-        lo = max(lo, 0)
+        lo = np.searchsorted(
+            self._imu_stamps,
+            min(header_stamp + header_delta * -1.0, header_stamp) - 0.3) - 4
+        lo = max(int(lo), 0)
         sl = slice(lo, lo + M)
-        imu_stamps = np.full((M,), np.float32(1e6), np.float32)
-        imu_ang = np.zeros((M, 3), np.float32)
-        imu_acc = np.zeros((M, 3), np.float32)
         k = len(self._imu_stamps[sl])
-        imu_stamps[:k] = rel[sl]
+        imu = np.zeros((M, 7), np.float32)
+        imu[:k, 0] = self._imu_stamps[sl] - header_stamp
         if k:
-            imu_stamps[k:] = imu_stamps[k - 1] + 1.0 + np.arange(M - k)
-        imu_ang[:k] = self._imu_ang[sl]
-        imu_acc[:k] = self._imu_acc[sl]
+            imu[k:, 0] = imu[k - 1, 0] + 1.0 + np.arange(M - k)
+        imu[:k, 1:4] = self._imu_ang[sl]
+        imu[:k, 4:7] = self._imu_acc[sl]
 
-        inp = StepInput(
-            xyz=jnp.asarray(xyz_p), t=jnp.asarray(t_p),
-            valid=jnp.asarray(valid), deskew=jnp.asarray(deskew),
-            imu_stamps=jnp.asarray(imu_stamps), imu_ang=jnp.asarray(imu_ang),
-            imu_acc=jnp.asarray(imu_acc), imu_count=jnp.int32(k),
-            prev_stamp=jnp.float32(prev_stamp - header_stamp),
-            prop_start=jnp.float32(prop_start - header_stamp),
-        )
+        scalars = np.array([header_delta, 1.0 if deskew else 0.0, k, 0.0],
+                           np.float32)
+        inp = StepInput(points=jnp.asarray(points), imu=jnp.asarray(imu),
+                        scalars=jnp.asarray(scalars))
         self.state, out = self._step(self.state, inp)
+        self.prev_header = header_stamp
+        self.headers.append(header_stamp)
+        self.last_output = out
+        return out
 
-        processed = bool(out.processed)
-        scan_stamp_abs = header_stamp + float(out.scan_stamp)
-        if processed:
-            self.prev_scan_stamp = scan_stamp_abs
-            self.prop_boundary = header_stamp + float(out.sweep_end)
+    # ------------------------------------------------------------- results
+    def flush(self) -> np.ndarray:
+        """Fetch the device trajectory ring accumulated so far (one bulk
+        transfer) and append to ``self.trajectory``. Returns the full
+        trajectory as an (T, 8) array: stamp, p, q."""
+        if self.state is None:
+            return np.zeros((0, 8))
+        traj, nproc = jax.device_get((self.state.traj, self.state.num_scans))
+        nproc = int(nproc)
+        for i in range(self._flushed_scans, min(nproc,
+                                                traj.shape[0])):
+            row = traj[i]
+            step_idx = int(row[0])
+            stamp = self.headers[step_idx] + float(row[1])
             self.trajectory.append(TrajectoryEntry(
-                scan_stamp_abs, np.asarray(out.lidar_p),
-                np.asarray(out.lidar_q)))
-            self.num_processed += 1
-        else:
-            self.num_skipped += 1
+                stamp, row[2:5].copy(), row[5:9].copy(),
+                bool(row[9] > 0.5), int(row[10]), int(row[11])))
+        self._flushed_scans = max(self._flushed_scans, min(nproc,
+                                                           traj.shape[0]))
+        return self.trajectory_array()
 
-        return {
-            "processed": processed,
-            "stamp": scan_stamp_abs,
-            "p": np.asarray(out.lidar_p),
-            "q": np.asarray(out.lidar_q),
-            "state_p": np.asarray(out.pose_p),
-            "state_q": np.asarray(out.pose_q),
-            "world_xyz": out.world_xyz,
-            "world_valid": out.world_valid,
-            "is_keyframe": bool(out.is_keyframe),
-            "deskew_ok": bool(out.deskew_ok),
-            "gicp_iterations": int(out.gicp_iterations),
-            "num_corr": int(out.num_corr),
-        }
+    @property
+    def num_processed(self) -> int:
+        self.flush()
+        return self._flushed_scans
 
-    # ------------------------------------------------------------- exports
+    @property
+    def num_skipped(self) -> int:
+        total = int(jax.device_get(self.state.total_steps))
+        return total - self.num_processed
+
     def trajectory_array(self) -> np.ndarray:
         """(T, 8) array: stamp, px, py, pz, qw, qx, qy, qz."""
         if not self.trajectory:

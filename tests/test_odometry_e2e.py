@@ -36,6 +36,7 @@ def replay(sim, cfg, n_scans=None):
                           sim.imu_acc[imu_i])
             imu_i += 1
         pipe.process_scan(header, xyz, pt)
+    pipe.flush()
     return pipe
 
 
@@ -67,7 +68,7 @@ def test_odometry_without_deskew():
                           sim.imu_acc[imu_i])
             imu_i += 1
         pipe.process_scan(header, xyz, point_times=None)
-    traj = pipe.trajectory_array()
+    traj = pipe.flush()
     ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
                              sim.gt_pos)
     # No deskew: motion distortion... none here because points are emitted
@@ -98,5 +99,5 @@ def test_pipeline_skips_empty_scan():
         pipe.push_imu(sim.imu_stamps[i], sim.imu_ang[i], sim.imu_acc[i])
     out = pipe.process_scan(0.0, np.full((100, 3), np.nan, np.float32),
                             np.zeros(100))
-    assert not out["processed"]
+    assert not bool(out.processed)
     assert pipe.num_skipped == 1
