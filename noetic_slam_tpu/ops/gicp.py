@@ -79,6 +79,51 @@ def _inv3_sym(m: Array) -> Array:
 # Covariance estimation (nano_gicp.cc:330-392)
 # ---------------------------------------------------------------------------
 
+def _smallest_eigvec_sym3(m: Array) -> Array:
+    """Unit eigenvector of the smallest eigenvalue of symmetric 3x3 (batched).
+
+    Closed form (no LAPACK): trigonometric eigenvalues (Smith's algorithm)
+    + null-space cross products — replaces the reference's per-point
+    JacobiSVD (nano_gicp.cc:367) at VPU rate instead of batched eigh
+    (which lowers to a slow loop on TPU).
+    """
+    a00, a01, a02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    a11, a12, a22 = m[..., 1, 1], m[..., 1, 2], m[..., 2, 2]
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30) / 6.0)
+    # det((A - qI)/p) / 2
+    detb = (b00 * (b11 * b22 - a12 * a12)
+            - a01 * (a01 * b22 - a12 * a02)
+            + a02 * (a01 * a12 - b11 * a02))
+    r = jnp.clip(detb / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    # Null direction of (A - lam_min I): cross products of row pairs; take
+    # the best-conditioned one.
+    r0 = jnp.stack([a00 - lam_min, a01, a02], axis=-1)
+    r1 = jnp.stack([a01, a11 - lam_min, a12], axis=-1)
+    r2 = jnp.stack([a02, a12, a22 - lam_min], axis=-1)
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1, keepdims=True)
+    n02 = jnp.sum(c02 * c02, axis=-1, keepdims=True)
+    n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
+    best = jnp.where(n01 > n02, c01, c02)
+    bestn = jnp.maximum(n01, n02)
+    best = jnp.where(bestn > n12, best, c12)
+    bestn = jnp.maximum(bestn, n12)
+    # Isotropic/degenerate fallback: any unit vector works.
+    ez = jnp.zeros_like(best).at[..., 2].set(1.0)
+    ok = (bestn[..., 0] > 1e-20) & (p2 > 1e-20)
+    v = jnp.where(ok[..., None], best, ez)
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def plane_covariances(xyz: Array, valid: Array, k: int = 16):
     """Per-point plane-regularized covariances + source density.
@@ -100,15 +145,13 @@ def plane_covariances(xyz: Array, valid: Array, k: int = 16):
     cov = jnp.einsum("nki,nkj->nij", d, d,
                     precision=jax.lax.Precision.HIGHEST) / k      # (N, 3, 3)
 
-    # PLANE regularization: replace singular values with (1, 1, 1e-3).
-    # cov is symmetric PSD so SVD == eigendecomposition; eigh is batched-fast.
-    eigval, eigvec = jnp.linalg.eigh(cov)           # ascending
-    V = eigvec[..., ::-1]                           # descending order
-    vals = jnp.asarray([1.0, 1.0, 1e-3], cov.dtype)
-    reg = jnp.einsum("nij,j,nkj->nik", V, vals, V,
-                    precision=jax.lax.Precision.HIGHEST)
-
+    # PLANE regularization: replace singular values with (1, 1, 1e-3), i.e.
+    # V diag(1,1,1e-3) V^T = I - (1 - 1e-3) n n^T with n the smallest-
+    # eigenvalue direction (the local surface normal). Closed form — no
+    # LAPACK eigh (slow on TPU).
+    n = _smallest_eigvec_sym3(cov)
     eye = jnp.eye(3, dtype=cov.dtype)
+    reg = eye - (1.0 - 1e-3) * n[..., :, None] * n[..., None, :]
     reg = jnp.where(valid[:, None, None], reg, eye)
 
     norm = ((k - 1) * (2 + k)) / 2.0

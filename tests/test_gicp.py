@@ -94,3 +94,20 @@ def test_gicp_align_with_padding(rng):
     np.testing.assert_allclose(T_est[:3, :3], np.eye(3), atol=5e-3)
     # correspondences only from valid source points
     assert int(res.num_corr) <= 384
+
+
+def test_smallest_eigvec_matches_eigh(rng):
+    import jax.numpy as jnp
+    A = rng.normal(size=(64, 3, 3))
+    S = (A @ A.transpose(0, 2, 1)).astype(np.float32)
+    # include near-planar covariances (the real workload)
+    n = rng.normal(size=(64, 3))
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    planar = (np.eye(3) - 0.999 * n[:, :, None] * n[:, None, :]).astype(
+        np.float32)
+    for M in (S, planar):
+        got = np.asarray(gicp._smallest_eigvec_sym3(jnp.asarray(M)))
+        w, v = np.linalg.eigh(M)
+        want = v[:, :, 0]
+        dots = np.abs(np.sum(got * want, axis=-1))
+        np.testing.assert_allclose(dots, 1.0, atol=2e-3)
