@@ -1,0 +1,253 @@
+"""Block-hashed TSDF fusion backend (CHAD / Voxblox class), TPU-native.
+
+The reference repo's README describes a ``tsdf_map`` node with CHAD TSDF /
+Octomap / Voxblox / VDBFusion backends (reference README.md:20-47) but the
+package is absent from the checkout (SURVEY.md §0); only its data contract is
+visible: it consumed the world-frame deskewed cloud stream
+(src/dliomapping/dliomapping.cpp:44). This module implements that component
+from the published behavior of such systems — projective TSDF integration
+into a block-hashed voxel grid — re-designed for TPU:
+
+- **No pointer hash table.** Blocks live in a *sorted directory*
+  (keys (C,), payload slots (C,)); lookup is a vectorized ``searchsorted``
+  and insertion is a concat + sort + unique merge of the (small) directory.
+  Payload arrays stay in fixed slots, so inserting blocks never moves voxel
+  data.
+- **Deterministic scatter.** Ray samples are keyed by flat voxel index,
+  sorted, segment-reduced to unique voxels, then scatter-added once — the
+  sort-then-segment-sum composition makes voxel updates reproducible
+  regardless of point order (SURVEY.md §7 "TSDF scatter contention").
+- **Static shapes everywhere**: N points x S samples per scan; block
+  allocation capacity per scan is fixed; overflow drops (counted).
+
+Geometry: voxel size ``v`` (cfg.tsdf.voxel_size), blocks of 8^3 voxels,
+block key packs block coords into int32 (11+11+10 bits -> +-819 m in x/y,
++-409 m in z at 0.8 m blocks). Weighted-average updates with clamped
+projective SDF, Voxblox-style constant weight with linear behind-surface
+taper, optional free-space carving samples.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from noetic_slam_tpu.config.params import TsdfConfig
+
+Array = jax.Array
+
+BLOCK = 8                      # voxels per block edge
+BLOCK_VOLUME = BLOCK ** 3
+_KEY_PAD = jnp.iinfo(jnp.int32).max
+
+
+class TsdfState(NamedTuple):
+    dir_keys: Array    # (C,) int32 sorted block keys (pad = INT32_MAX)
+    dir_slots: Array   # (C,) int32 payload slot per key
+    num_blocks: Array  # () int32
+    tsdf: Array        # (C, 512) f32 signed distance [m], init +trunc
+    weight: Array      # (C, 512) f32
+    dropped: Array     # () int32 samples dropped due to capacity
+
+
+def init_tsdf(cfg: TsdfConfig) -> TsdfState:
+    C = cfg.max_blocks
+    return TsdfState(
+        dir_keys=jnp.full((C,), _KEY_PAD, jnp.int32),
+        dir_slots=jnp.zeros((C,), jnp.int32),
+        num_blocks=jnp.int32(0),
+        tsdf=jnp.full((C, BLOCK_VOLUME), cfg.truncation, jnp.float32),
+        weight=jnp.zeros((C, BLOCK_VOLUME), jnp.float32),
+        dropped=jnp.int32(0),
+    )
+
+
+def _block_key(b: Array) -> Array:
+    """(…,3) int32 block coords -> packed int32 key (invalid -> _KEY_PAD)."""
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    ok = ((bx >= -1024) & (bx < 1024) & (by >= -1024) & (by < 1024)
+          & (bz >= -512) & (bz < 512))
+    key = ((bz + 512) << 22) | ((by + 1024) << 11) | (bx + 1024)
+    return jnp.where(ok, key, _KEY_PAD)
+
+
+def _lookup(state: TsdfState, keys: Array) -> Array:
+    """Sorted-directory lookup: key -> payload slot (or -1)."""
+    pos = jnp.searchsorted(state.dir_keys, keys)
+    pos = jnp.clip(pos, 0, state.dir_keys.shape[0] - 1)
+    hit = state.dir_keys[pos] == keys
+    return jnp.where(hit & (keys != _KEY_PAD), state.dir_slots[pos], -1)
+
+
+def allocate_blocks(state: TsdfState, want_keys: Array) -> TsdfState:
+    """Insert any unseen keys into the directory (sorted merge).
+
+    ``want_keys`` (A,) may contain duplicates/_KEY_PAD. New blocks receive
+    payload slots from the running counter; allocation beyond capacity is
+    dropped (counted in ``dropped``).
+    """
+    C = state.dir_keys.shape[0]
+    # Dedupe requested keys.
+    wk = jnp.sort(want_keys)
+    first = jnp.concatenate([jnp.ones((1,), bool), wk[1:] != wk[:-1]])
+    wk = jnp.where(first, wk, _KEY_PAD)
+    # Drop keys already present.
+    present = _lookup(state, wk) >= 0
+    wk = jnp.where(present, _KEY_PAD, wk)
+    wk = jnp.sort(wk)
+    n_new = jnp.sum(wk != _KEY_PAD)
+
+    # Assign slots; beyond capacity -> drop.
+    rank = jnp.cumsum((wk != _KEY_PAD).astype(jnp.int32)) - 1
+    slot = state.num_blocks + rank
+    ok = (wk != _KEY_PAD) & (slot < C)
+    wk = jnp.where(ok, wk, _KEY_PAD)
+    slot = jnp.where(ok, slot, 0)
+
+    keys = jnp.concatenate([state.dir_keys, wk])
+    slots = jnp.concatenate([state.dir_slots, slot])
+    order = jnp.argsort(keys)
+    keys, slots = keys[order][:C], slots[order][:C]
+    num = jnp.minimum(state.num_blocks + n_new, C)
+    return state._replace(dir_keys=keys, dir_slots=slots,
+                          num_blocks=num.astype(jnp.int32),
+                          dropped=state.dropped + (n_new - (num - state.num_blocks)))
+
+
+def _ray_samples(cfg: TsdfConfig, points: Array, valid: Array, origin: Array):
+    """Sample positions + SDF values + weights along each ray.
+
+    Surface band: samples at voxel-size spacing within [-trunc, +trunc]
+    around the hit. Optional carving: sparse free-space samples between the
+    origin and the truncation band (sdf = +trunc, low weight).
+    Returns (pos (N*S,3), sdf (N*S,), w (N*S,)).
+    """
+    d = points - origin
+    r = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ok = valid & (r[:, 0] > 0.3) & (r[:, 0] < cfg.max_range)
+    u = d / jnp.maximum(r, 1e-6)
+
+    n_band = max(int(round(2.0 * cfg.truncation / cfg.voxel_size)) + 1, 3)
+    offs = jnp.linspace(-cfg.truncation, cfg.truncation, n_band)
+    band_pos = points[:, None, :] + u[:, None, :] * offs[None, :, None]
+    band_sdf = jnp.broadcast_to(-offs[None, :], (points.shape[0], n_band))
+    # Behind-surface linear taper (Voxblox simple weight drop-off).
+    band_w = jnp.where(band_sdf < 0.0,
+                       1.0 + band_sdf / cfg.truncation, 1.0)
+    band_w = jnp.maximum(band_w, 0.05) * ok[:, None]
+
+    pos, sdf, w = band_pos, band_sdf, band_w
+    if cfg.space_carving and cfg.carving_samples > 0:
+        S = cfg.carving_samples
+        frac = (jnp.arange(S) + 0.5) / S
+        carve_r = frac[None, :] * jnp.maximum(r - cfg.truncation, 0.0)
+        carve_pos = origin + u[:, None, :] * carve_r[:, :, None]
+        carve_sdf = jnp.full((points.shape[0], S), cfg.truncation)
+        carve_w = jnp.full((points.shape[0], S), 0.1) * ok[:, None]
+        pos = jnp.concatenate([pos, carve_pos], axis=1)
+        sdf = jnp.concatenate([sdf, carve_sdf], axis=1)
+        w = jnp.concatenate([w, carve_w], axis=1)
+    return (pos.reshape(-1, 3), sdf.reshape(-1), w.reshape(-1))
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def integrate(cfg: TsdfConfig, state: TsdfState, points: Array,
+              valid: Array, origin: Array) -> TsdfState:
+    """Fuse one world-frame (deskewed, registered) cloud into the TSDF.
+
+    The consumer role of the absent tsdf_map node: integrate the stream that
+    dliomapping.cpp:44 subscribed to.
+    """
+    pos, sdf, w = _ray_samples(cfg, points, valid, origin)
+    vx = jnp.floor(pos / cfg.voxel_size).astype(jnp.int32)
+    b = vx >> 3                       # block coords (floor divide by 8)
+    intra = vx - (b << 3)             # 0..7 each axis
+    keys = _block_key(b)
+    keys = jnp.where(w > 0.0, keys, _KEY_PAD)
+
+    # Allocate blocks touched by the surface band (carve samples allocate
+    # too — matches Voxblox's clearing behavior).
+    state = allocate_blocks(state, keys)
+
+    slot = _lookup(state, keys)
+    ivox = intra[:, 0] + (intra[:, 1] << 3) + (intra[:, 2] << 6)
+    flat = slot * BLOCK_VOLUME + ivox
+    C = state.tsdf.shape[0]
+    total = C * BLOCK_VOLUME
+    good = (slot >= 0) & (w > 0.0)
+    flat = jnp.where(good, flat, total)
+
+    # Deterministic reduction: sort samples by voxel, segment-sum, then a
+    # single scatter-add with unique indices.
+    order = jnp.argsort(flat)
+    flat_s = flat[order]
+    w_s = jnp.where(flat_s < total, w[order], 0.0)
+    sdf_c = jnp.clip(sdf[order], -cfg.truncation, cfg.truncation)
+
+    first = jnp.concatenate([jnp.ones((1,), bool), flat_s[1:] != flat_s[:-1]])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    nseg = flat_s.shape[0]
+    sum_w_seg = jnp.zeros((nseg,), jnp.float32).at[seg].add(w_s)
+    sum_ws_seg = jnp.zeros((nseg,), jnp.float32).at[seg].add(w_s * sdf_c)
+    # Back to per-position: totals for the voxel each position belongs to.
+    tot_w = sum_w_seg[seg]
+    tot_ws = sum_ws_seg[seg]
+
+    tsdf_flat = state.tsdf.reshape(-1)
+    weight_flat = state.weight.reshape(-1)
+    addr = jnp.where(flat_s < total, flat_s, total - 1)
+    W = weight_flat[addr]
+    D = tsdf_flat[addr]
+    W_new = W + tot_w
+    D_new = jnp.where(W_new > 0, (W * D + tot_ws) / jnp.maximum(W_new, 1e-9),
+                      D)
+    W_new = jnp.minimum(W_new, cfg.max_weight)
+
+    upd = jnp.where(first & (flat_s < total), flat_s, total)
+    tsdf_flat = tsdf_flat.at[upd].set(D_new, mode="drop")
+    weight_flat = weight_flat.at[upd].set(W_new, mode="drop")
+    return state._replace(tsdf=tsdf_flat.reshape(C, BLOCK_VOLUME),
+                          weight=weight_flat.reshape(C, BLOCK_VOLUME))
+
+
+def voxel_centers(cfg: TsdfConfig, state: TsdfState):
+    """World-space centers of every allocated voxel: (C, 512, 3)."""
+    keys = state.dir_keys
+    bx = (keys & 0x7FF) - 1024
+    by = ((keys >> 11) & 0x7FF) - 1024
+    bz = ((keys >> 22) & 0x3FF) - 512
+    b = jnp.stack([bx, by, bz], axis=-1)                  # (C, 3)
+    iv = jnp.arange(BLOCK_VOLUME, dtype=jnp.int32)
+    intra = jnp.stack([iv & 7, (iv >> 3) & 7, (iv >> 6) & 7], axis=-1)
+    vox = b[:, None, :] * BLOCK + intra[None, :, :]
+    # payload is indexed by slot, but dir rows are key-ordered: permute the
+    # centers to slot order so centers[slot] matches tsdf[slot].
+    C = keys.shape[0]
+    centers_keyorder = (vox.astype(jnp.float32) + 0.5) * cfg.voxel_size
+    centers = jnp.zeros_like(centers_keyorder)
+    slot = jnp.where(keys != _KEY_PAD, state.dir_slots, C - 1)
+    centers = centers.at[slot].set(centers_keyorder)
+    return centers
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_surface(cfg: TsdfConfig, state: TsdfState,
+                    iso_band: float = 0.5, min_weight: float = 1.0):
+    """Surface point extraction: centers of voxels near the zero crossing.
+
+    Returns (points (C*512, 3), tsdf values, mask) — the host compacts.
+    (Marching-cubes mesh export is provided in io/meshing.py.)
+    """
+    centers = voxel_centers(cfg, state).reshape(-1, 3)
+    d = state.tsdf.reshape(-1)
+    w = state.weight.reshape(-1)
+    mask = (w >= min_weight) & (jnp.abs(d) < iso_band * cfg.voxel_size * 2.0)
+    # mask out unallocated slots
+    slot_used = jnp.zeros((state.tsdf.shape[0],), bool).at[
+        jnp.where(state.dir_keys != _KEY_PAD, state.dir_slots,
+                  state.tsdf.shape[0])].set(True, mode="drop")
+    mask = mask & jnp.repeat(slot_used, BLOCK_VOLUME)
+    return centers, d, mask
