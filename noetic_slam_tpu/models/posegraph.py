@@ -1,0 +1,257 @@
+"""Keyframe pose-graph optimization with loop closure.
+
+New capability relative to the reference checkout (its odometry is pure
+dead-reckoning + submap registration; BASELINE.json requires "keyframe
+pose-graph optimization with loop closure" as part of the complete system).
+Designed TPU-first:
+
+- the graph is fixed-capacity arrays (nodes = keyframe poses, edges =
+  relative SE(3) measurements with rotation/translation weights);
+- Gauss-Newton with SO(3) x R^3 residuals: r_R = Log(R_meas^T R_i^T R_j),
+  r_t = t_j - t_i - R_i t_meas, first-order Jacobians; the full (6K x 6K)
+  normal system is assembled by segment-sums over edges and solved densely
+  (K <= a few hundred keyframes -> <= ~3k x 3k, MXU-friendly);
+- gauge freedom fixed by a strong prior on node 0;
+- loop-closure candidates by keyframe proximity with an index-gap guard,
+  verified and measured by GICP between the stored keyframe clouds;
+- ``apply_pose_update`` rigidly re-transforms keyframe clouds/covariances
+  (map deformation after closure).
+
+The distributed variant (edge shards + psum of reduced blocks) lives in
+parallel/bundle_adjustment.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from noetic_slam_tpu.config.params import GicpConfig
+from noetic_slam_tpu.ops import gicp as gicp_ops
+from noetic_slam_tpu.utils.geometry import (
+    quat_conj,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    quat_to_mat,
+    skew,
+    so3_exp_quat,
+    so3_log_quat,
+)
+
+Array = jax.Array
+
+
+class PoseGraph(NamedTuple):
+    node_q: Array     # (K, 4)
+    node_p: Array     # (K, 3)
+    n_nodes: Array    # () int32
+    edge_i: Array     # (E,) int32
+    edge_j: Array     # (E,) int32
+    edge_dq: Array    # (E, 4) measured q_i^-1 * q_j
+    edge_dp: Array    # (E, 3) measured R_i^T (p_j - p_i)
+    edge_w_rot: Array # (E,)
+    edge_w_trans: Array  # (E,)
+    edge_valid: Array    # (E,) bool
+    n_edges: Array    # () int32
+
+
+def init_graph(max_nodes: int, max_edges: int) -> PoseGraph:
+    f32 = jnp.float32
+    return PoseGraph(
+        node_q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], f32), (max_nodes, 1)),
+        node_p=jnp.zeros((max_nodes, 3), f32),
+        n_nodes=jnp.int32(0),
+        edge_i=jnp.zeros((max_edges,), jnp.int32),
+        edge_j=jnp.zeros((max_edges,), jnp.int32),
+        edge_dq=jnp.tile(jnp.asarray([1.0, 0, 0, 0], f32), (max_edges, 1)),
+        edge_dp=jnp.zeros((max_edges, 3), f32),
+        edge_w_rot=jnp.zeros((max_edges,), f32),
+        edge_w_trans=jnp.zeros((max_edges,), f32),
+        edge_valid=jnp.zeros((max_edges,), bool),
+        n_edges=jnp.int32(0),
+    )
+
+
+def add_node(g: PoseGraph, q: Array, p: Array) -> PoseGraph:
+    K = g.node_q.shape[0]
+    i = jnp.minimum(g.n_nodes, K - 1)
+    ok = g.n_nodes < K
+    return g._replace(
+        node_q=g.node_q.at[i].set(jnp.where(ok, q, g.node_q[i])),
+        node_p=g.node_p.at[i].set(jnp.where(ok, p, g.node_p[i])),
+        n_nodes=g.n_nodes + ok.astype(jnp.int32))
+
+
+def add_edge(g: PoseGraph, i: Array, j: Array, dq: Array, dp: Array,
+             w_rot=1.0, w_trans=1.0, enabled=True) -> PoseGraph:
+    E = g.edge_i.shape[0]
+    e = jnp.minimum(g.n_edges, E - 1)
+    ok = jnp.asarray(enabled) & (g.n_edges < E)
+    sel = lambda new, old: jnp.where(ok, new, old)
+    return g._replace(
+        edge_i=g.edge_i.at[e].set(sel(i, g.edge_i[e])),
+        edge_j=g.edge_j.at[e].set(sel(j, g.edge_j[e])),
+        edge_dq=g.edge_dq.at[e].set(sel(dq, g.edge_dq[e])),
+        edge_dp=g.edge_dp.at[e].set(sel(dp, g.edge_dp[e])),
+        edge_w_rot=g.edge_w_rot.at[e].set(sel(w_rot, g.edge_w_rot[e])),
+        edge_w_trans=g.edge_w_trans.at[e].set(sel(w_trans, g.edge_w_trans[e])),
+        edge_valid=g.edge_valid.at[e].set(sel(True, g.edge_valid[e])),
+        n_edges=g.n_edges + ok.astype(jnp.int32))
+
+
+def relative_pose(qi, pi, qj, pj):
+    """Measured relative transform (dq, dp) of j in i's frame."""
+    dq = quat_normalize(quat_mul(quat_conj(qi), qj))
+    dp = quat_rotate(quat_conj(qi), pj - pi)
+    return dq, dp
+
+
+def _edge_terms(g: PoseGraph):
+    """Per-edge residuals + Jacobian blocks (first order).
+
+    r_R = Log(dq_meas^-1 * q_i^-1 * q_j)           (3,)
+    r_t = R_i^T (p_j - p_i) - dp_meas              (3,)
+
+    with left-multiplicative node perturbations
+    q_k <- Exp(w_k) q_k, p_k <- p_k + v_k:
+      dr_R/dw_j =  R_i^T,  dr_R/dw_i = -R_i^T          (first order)
+      dr_t/dv_j =  R_i^T,  dr_t/dv_i = -R_i^T
+      dr_t/dw_i =  R_i^T skew(p_j - p_i)
+    """
+    qi = g.node_q[g.edge_i]
+    pi = g.node_p[g.edge_i]
+    qj = g.node_q[g.edge_j]
+    pj = g.node_p[g.edge_j]
+
+    q_rel = quat_mul(quat_conj(qi), qj)
+    r_R = so3_log_quat(quat_mul(quat_conj(g.edge_dq), q_rel))
+    r_t = quat_rotate(quat_conj(qi), pj - pi) - g.edge_dp
+
+    Ri_T = jnp.swapaxes(quat_to_mat(qi), -1, -2)         # (E, 3, 3)
+    J_t_wi = Ri_T @ skew(pj - pi)                        # (E, 3, 3)
+    return r_R, r_t, Ri_T, J_t_wi
+
+
+def _assemble(g: PoseGraph, K: int):
+    """Dense H (6K, 6K), b (6K,) from all valid edges via scatter-adds."""
+    r_R, r_t, Ri_T, J_t_wi = _edge_terms(g)
+    wr = (g.edge_w_rot * g.edge_valid)[:, None, None]
+    wt = (g.edge_w_trans * g.edge_valid)[:, None, None]
+
+    # Variables per node: [w (3), v (3)]; per-edge Jacobian stacked as
+    # (E, 6res, 12vars), 12 vars = [w_i v_i w_j v_j].
+    A = Ri_T                       # dr_R/dw_j = dr_t/dv_j
+    B = J_t_wi                     # dr_t/dw_i
+    E = g.edge_i.shape[0]
+    zeros3 = jnp.zeros((E, 3, 3))
+    Jr = jnp.concatenate([
+        jnp.concatenate([-A, zeros3, A, zeros3], axis=-1),     # r_R row
+        jnp.concatenate([B, -A, zeros3, A], axis=-1),          # r_t row
+    ], axis=-2)                                                # (E, 6, 12)
+    W = jnp.concatenate([jnp.broadcast_to(wr, (E, 3, 1)),
+                         jnp.broadcast_to(wt, (E, 3, 1))], axis=-2)  # (E,6,1)
+    r = jnp.concatenate([r_R, r_t], axis=-1)                    # (E, 6)
+
+    JW = Jr * W                                                # (E, 6, 12)
+    Hblk = jnp.einsum("eri,erj->eij", JW, Jr,
+                      precision=jax.lax.Precision.HIGHEST)     # (E,12,12)
+    bblk = jnp.einsum("eri,er->ei", JW, r,
+                      precision=jax.lax.Precision.HIGHEST)     # (E,12)
+
+    H = jnp.zeros((K * 6, K * 6))
+    b = jnp.zeros((K * 6,))
+    ii = g.edge_i * 6
+    jj = g.edge_j * 6
+    base = jnp.stack([ii, ii + 3, jj, jj + 3], axis=-1)        # (E, 4)
+    off = jnp.arange(3)
+    rows = (base[:, :, None] + off[None, None, :]).reshape(E, 12)
+    H = H.at[rows[:, :, None], rows[:, None, :]].add(Hblk)
+    b = b.at[rows].add(bblk)
+    return H, b
+
+
+@partial(jax.jit, static_argnames=("iters", "k_static"))
+def optimize(g: PoseGraph, iters: int = 10, k_static: int | None = None,
+             damping: float = 1e-6) -> PoseGraph:
+    """Gauss-Newton over all node poses; node 0 gauge-fixed by prior."""
+    K = g.node_q.shape[0] if k_static is None else k_static
+
+    def gn_step(_, g):
+        H, b = _assemble(g, K)
+        # gauge prior on node 0 + damping + inactive-node regularization
+        slot = jnp.arange(K * 6)
+        active = (slot // 6) < g.n_nodes
+        diag = jnp.where(active, damping, 1.0)
+        diag = diag.at[:6].set(1e6)
+        H = H + jnp.diag(diag)
+        dx = jnp.linalg.solve(H, -b).reshape(K, 6)
+        dw, dv = dx[:, :3], dx[:, 3:]
+        ok = (jnp.arange(K) < g.n_nodes)[:, None]
+        q = quat_normalize(quat_mul(so3_exp_quat(jnp.where(ok, dw, 0.0)),
+                                    g.node_q))
+        p = g.node_p + jnp.where(ok, dv, 0.0)
+        return g._replace(node_q=q, node_p=p)
+
+    return jax.lax.fori_loop(0, iters, gn_step, g)
+
+
+def graph_cost(g: PoseGraph) -> Array:
+    r_R, r_t, _, _ = _edge_terms(g)
+    w = g.edge_valid
+    return jnp.sum((g.edge_w_rot * jnp.sum(r_R ** 2, -1)
+                    + g.edge_w_trans * jnp.sum(r_t ** 2, -1)) * w)
+
+
+# ---------------------------------------------------------------------------
+# Loop closure
+# ---------------------------------------------------------------------------
+
+def detect_loop_candidate(kf_pos: Array, kf_count: Array, cur_idx: Array,
+                          radius: float, min_gap: int):
+    """Best candidate keyframe for closing a loop with ``cur_idx``:
+    nearest keyframe at least ``min_gap`` indices older and within
+    ``radius``. Returns (idx, ok)."""
+    K = kf_pos.shape[0]
+    slots = jnp.arange(K)
+    d = jnp.linalg.norm(kf_pos - kf_pos[cur_idx][None, :], axis=-1)
+    eligible = (slots < kf_count) & (slots <= cur_idx - min_gap)
+    d = jnp.where(eligible, d, jnp.inf)
+    best = jnp.argmin(d)
+    return best, d[best] < radius
+
+
+def verify_loop(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov,
+                cfg: GicpConfig, max_corr_dist: float = 1.5,
+                max_error: float = 0.5):
+    """GICP-verify a candidate: align the two keyframe clouds (both already
+    in world frame) and accept if converged with low mean residual.
+
+    Returns (T_corr, accepted)."""
+    res = gicp_ops.gicp_align(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov,
+                              cfg, max_corr_dist=max_corr_dist)
+    mean_err = res.error / jnp.maximum(res.num_corr.astype(jnp.float32), 1.0)
+    ok = (res.converged & (res.num_corr > 3 * cfg.min_num_points)
+          & (mean_err < max_error))
+    return res.T, ok
+
+
+def apply_pose_update(kf_quat, kf_pos, kf_xyz, kf_valid, kf_cov,
+                      new_q, new_p, kf_count):
+    """Map deformation: rigidly move each keyframe cloud from its old pose
+    to its optimized pose (T_new T_old^-1 per keyframe)."""
+    K = kf_quat.shape[0]
+    ok = jnp.arange(K) < kf_count
+    dq = quat_normalize(quat_mul(new_q, quat_conj(kf_quat)))
+    R = quat_to_mat(dq)                       # (K, 3, 3)
+    t = new_p - jnp.einsum("kij,kj->ki", R, kf_pos)
+    xyz = jnp.einsum("kij,knj->kni", R, kf_xyz) + t[:, None, :]
+    xyz = jnp.where((ok[:, None] & kf_valid)[..., None], xyz, kf_xyz)
+    cov = gicp_ops.rotate_sym6(kf_cov, R[:, None, :, :])
+    cov = jnp.where((ok[:, None] & kf_valid)[..., None], cov, kf_cov)
+    q_out = jnp.where(ok[:, None], new_q, kf_quat)
+    p_out = jnp.where(ok[:, None], new_p, kf_pos)
+    return q_out, p_out, xyz, cov

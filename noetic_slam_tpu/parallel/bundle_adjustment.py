@@ -1,0 +1,65 @@
+"""Distributed pose-graph / bundle-adjustment solve over a device mesh.
+
+The Schur-complement psum pattern from BASELINE.json: edges (factors) are
+sharded along the ``map`` axis; every device assembles the reduced normal-
+equation blocks H (6K x 6K), b (6K) for its edge shard only; one ``psum``
+combines the reduced systems; the (small, dense) solve and the node update
+are computed replicated on every device. This replaces the reference's
+(absent) sequential CPU pose-graph solver with ICI-resident collectives —
+no graph partitioning or host gather is needed because keyframe counts are
+small (<= hundreds) while edge evaluation dominates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from noetic_slam_tpu.models.posegraph import PoseGraph, _assemble
+from noetic_slam_tpu.utils.geometry import quat_mul, quat_normalize, so3_exp_quat
+
+Array = jax.Array
+
+
+def sharded_optimize(mesh, g: PoseGraph, iters: int = 10,
+                     damping: float = 1e-6, axis: str = "map") -> PoseGraph:
+    """Gauss-Newton identical to models.posegraph.optimize, with edge
+    assembly sharded and psum-combined. Edge capacity must divide the mesh
+    axis size."""
+    K = g.node_q.shape[0]
+    E = g.edge_i.shape[0]
+    ndev = mesh.shape[axis]
+    assert E % ndev == 0, "edge capacity must divide the mesh axis"
+
+    node_specs = P()
+    edge_specs = P(axis)
+    in_specs = PoseGraph(
+        node_q=node_specs, node_p=node_specs, n_nodes=node_specs,
+        edge_i=edge_specs, edge_j=edge_specs, edge_dq=edge_specs,
+        edge_dp=edge_specs, edge_w_rot=edge_specs, edge_w_trans=edge_specs,
+        edge_valid=edge_specs, n_edges=node_specs)
+
+    def spmd(g: PoseGraph) -> PoseGraph:
+        def gn_step(_, g):
+            H_local, b_local = _assemble(g, K)
+            H = jax.lax.psum(H_local, axis)
+            b = jax.lax.psum(b_local, axis)
+            slot = jnp.arange(K * 6)
+            active = (slot // 6) < g.n_nodes
+            diag = jnp.where(active, damping, 1.0)
+            diag = diag.at[:6].set(1e6)
+            H = H + jnp.diag(diag)
+            dx = jnp.linalg.solve(H, -b).reshape(K, 6)
+            dw, dv = dx[:, :3], dx[:, 3:]
+            ok = (jnp.arange(K) < g.n_nodes)[:, None]
+            q = quat_normalize(quat_mul(
+                so3_exp_quat(jnp.where(ok, dw, 0.0)), g.node_q))
+            p = g.node_p + jnp.where(ok, dv, 0.0)
+            return g._replace(node_q=q, node_p=p)
+
+        return jax.lax.fori_loop(0, iters, gn_step, g)
+
+    fn = jax.shard_map(spmd, mesh=mesh, in_specs=(in_specs,),
+                       out_specs=in_specs, check_vma=False)
+    return fn(g)

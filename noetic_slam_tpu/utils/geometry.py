@@ -133,6 +133,21 @@ def so3_exp_quat(omega: Array) -> Array:
     return jnp.concatenate([real, imag * omega], axis=-1)
 
 
+def so3_log_quat(q: Array) -> Array:
+    """Quaternion (..., 4) wxyz -> rotation vector (..., 3).
+
+    Inverse of so3_exp_quat, with the small-angle Taylor branch and
+    hemisphere canonicalization (w >= 0)."""
+    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+    w = jnp.clip(q[..., :1], -1.0, 1.0)
+    vn = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    theta = 2.0 * jnp.arctan2(vn, w)
+    small = vn < 1e-8
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-8),
+                      theta / jnp.maximum(vn, 1e-20))
+    return q[..., 1:] * scale
+
+
 def skew(v: Array) -> Array:
     """(..., 3) -> (..., 3, 3) skew-symmetric matrix (lsq_registration.h:70-80)."""
     x, y, z = jnp.moveaxis(v, -1, 0)

@@ -41,3 +41,27 @@ def test_sharded_gicp_matches_single_device(rng, mesh8):
     # and it actually recovers the transform
     resid = np.linalg.inv(T_true) @ np.asarray(got.T)
     assert np.abs(resid[:3, 3]).max() < 2e-2
+
+
+def test_sharded_posegraph_matches_single_device(rng, mesh8):
+    from noetic_slam_tpu.models import posegraph as pg
+    from noetic_slam_tpu.parallel.bundle_adjustment import sharded_optimize
+    from tests.test_posegraph import _circle_graph
+
+    gt_q, gt_p, est_q, est_p, edges = _circle_graph(rng=rng)
+    g = pg.init_graph(16, 32)  # 32 edges divide 8 devices
+    for k in range(len(gt_q)):
+        g = pg.add_node(g, jnp.asarray(est_q[k], jnp.float32),
+                        jnp.asarray(est_p[k], jnp.float32))
+    for (i, j, dq, dp) in edges:
+        g = pg.add_edge(g, jnp.int32(i), jnp.int32(j),
+                        jnp.asarray(dq, jnp.float32),
+                        jnp.asarray(dp, jnp.float32))
+
+    ref = pg.optimize(g, iters=10)
+    got = sharded_optimize(mesh8, g, iters=10)
+    np.testing.assert_allclose(np.asarray(got.node_p),
+                               np.asarray(ref.node_p), atol=1e-4)
+    dots = np.abs(np.sum(np.asarray(got.node_q) * np.asarray(ref.node_q),
+                         axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-6)

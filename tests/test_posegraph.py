@@ -1,0 +1,115 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from noetic_slam_tpu.models import posegraph as pg
+from tests import reference_math as ref
+
+
+def _to_q(R):
+    q = Rotation.from_matrix(R).as_quat()
+    return np.array([q[3], q[0], q[1], q[2]])
+
+
+def _circle_graph(n=12, drift=0.05, rng=None):
+    """Ground truth: poses around a circle; odometry edges measured exactly,
+    but integrated node estimates accumulate drift. Loop edge closes it."""
+    gt_q, gt_p = [], []
+    for k in range(n):
+        ang = 2 * np.pi * k / n
+        R = Rotation.from_rotvec([0, 0, ang]).as_matrix()
+        p = np.array([np.cos(ang), np.sin(ang), 0.0]) * 5.0
+        gt_q.append(_to_q(R))
+        gt_p.append(p)
+    gt_q, gt_p = np.stack(gt_q), np.stack(gt_p)
+
+    # exact relative measurements
+    edges = []
+    for k in range(n - 1):
+        dq = ref.quat_mul(gt_q[k] * [1, -1, -1, -1], gt_q[k + 1])
+        dp = ref.quat_rotate(gt_q[k] * [1, -1, -1, -1], gt_p[k + 1] - gt_p[k])
+        edges.append((k, k + 1, dq, dp))
+    # loop closure last -> first
+    dq = ref.quat_mul(gt_q[-1] * [1, -1, -1, -1], gt_q[0])
+    dp = ref.quat_rotate(gt_q[-1] * [1, -1, -1, -1], gt_p[0] - gt_p[-1])
+    edges.append((n - 1, 0, dq, dp))
+
+    # drifted initial estimates: perturb each node increasingly
+    est_q, est_p = [gt_q[0]], [gt_p[0]]
+    for k in range(1, n):
+        w = rng.normal(scale=drift * 0.2, size=3)
+        dqp = ref.quat_mul(_to_q(Rotation.from_rotvec(w).as_matrix()),
+                           gt_q[k])
+        est_q.append(dqp / np.linalg.norm(dqp))
+        est_p.append(gt_p[k] + rng.normal(scale=drift, size=3) * k / n * 5)
+    return gt_q, gt_p, np.stack(est_q), np.stack(est_p), edges
+
+
+def test_posegraph_converges_to_ground_truth(rng):
+    gt_q, gt_p, est_q, est_p, edges = _circle_graph(rng=rng)
+    g = pg.init_graph(16, 32)
+    for k in range(len(gt_q)):
+        g = pg.add_node(g, jnp.asarray(est_q[k], jnp.float32),
+                        jnp.asarray(est_p[k], jnp.float32))
+    for (i, j, dq, dp) in edges:
+        g = pg.add_edge(g, jnp.int32(i), jnp.int32(j),
+                        jnp.asarray(dq, jnp.float32),
+                        jnp.asarray(dp, jnp.float32))
+
+    cost0 = float(pg.graph_cost(g))
+    g2 = pg.optimize(g, iters=15)
+    cost1 = float(pg.graph_cost(g2))
+    assert cost1 < cost0 * 1e-3, (cost0, cost1)
+
+    # gauge: node 0 pinned; all nodes near ground truth
+    p_err = np.linalg.norm(np.asarray(g2.node_p)[:12] - gt_p, axis=-1)
+    assert p_err.max() < 0.02, p_err.max()
+    qdot = np.abs(np.sum(np.asarray(g2.node_q)[:12] * gt_q, axis=-1))
+    assert qdot.min() > 0.9999
+
+
+def test_relative_pose_roundtrip(rng):
+    q1 = rng.normal(size=4); q1 /= np.linalg.norm(q1)
+    q2 = rng.normal(size=4); q2 /= np.linalg.norm(q2)
+    p1, p2 = rng.normal(size=3), rng.normal(size=3)
+    dq, dp = pg.relative_pose(jnp.asarray(q1, jnp.float32),
+                              jnp.asarray(p1, jnp.float32),
+                              jnp.asarray(q2, jnp.float32),
+                              jnp.asarray(p2, jnp.float32))
+    # compose back: q2' = q1 * dq, p2' = p1 + R1 dp
+    q2b = ref.quat_mul(q1, np.asarray(dq, np.float64))
+    p2b = p1 + ref.quat_rotate(q1, np.asarray(dp, np.float64))
+    assert min(np.linalg.norm(q2b - q2), np.linalg.norm(q2b + q2)) < 1e-5
+    np.testing.assert_allclose(p2b, p2, atol=1e-5)
+
+
+def test_detect_loop_candidate():
+    pos = np.zeros((10, 3), np.float32)
+    pos[:, 0] = np.arange(10)
+    pos[9] = [0.3, 0.1, 0.0]   # returns near start
+    idx, ok = pg.detect_loop_candidate(jnp.asarray(pos), jnp.int32(10),
+                                       jnp.int32(9), radius=1.0, min_gap=5)
+    assert bool(ok) and int(idx) == 0
+    # gap guard: neighbor keyframes never match
+    idx, ok = pg.detect_loop_candidate(jnp.asarray(pos), jnp.int32(10),
+                                       jnp.int32(4), radius=1.5, min_gap=5)
+    assert not bool(ok)
+
+
+def test_apply_pose_update_moves_clouds(rng):
+    K, N = 4, 16
+    kf_q = np.tile([1.0, 0, 0, 0], (K, 1)).astype(np.float32)
+    kf_p = np.zeros((K, 3), np.float32)
+    kf_xyz = rng.normal(size=(K, N, 3)).astype(np.float32)
+    kf_valid = np.ones((K, N), bool)
+    kf_cov = np.tile(np.array([1, 0, 0, 1, 0, 1], np.float32), (K, N, 1))
+    new_q = kf_q.copy()
+    new_p = kf_p.copy()
+    new_p[1] = [1.0, 2.0, 3.0]
+    q, p, xyz, cov = pg.apply_pose_update(
+        jnp.asarray(kf_q), jnp.asarray(kf_p), jnp.asarray(kf_xyz),
+        jnp.asarray(kf_valid), jnp.asarray(kf_cov),
+        jnp.asarray(new_q), jnp.asarray(new_p), jnp.int32(K))
+    np.testing.assert_allclose(np.asarray(xyz)[1], kf_xyz[1] + [1, 2, 3],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xyz)[0], kf_xyz[0], atol=1e-6)
