@@ -1,0 +1,323 @@
+"""Ouster sensor ingest: metadata, packet parsing, scan batching, projection.
+
+Re-implements the data path of the vendored ouster-sdk + ouster-ros driver
+(reference src/ouster/ouster-sdk/ouster_client/) as vectorized NumPy with an
+optional C++ fast path (native/ouster_ingest.cpp via ctypes):
+
+- ``SensorInfo``: metadata JSON parse (types.h sensor_info / data_format;
+  src/types.cpp) — beam angles, transforms, pixel shifts, udp profile.
+- ``PacketFormat``: packet geometry per UDP profile (parsing.cpp:134-170:
+  LEGACY 16-byte col headers + 4-byte footers; eUDP 32-byte packet
+  header/footer + 12-byte col headers) and field extraction for the LEGACY
+  and RNG19_RFL8_SIG16_NIR16 single/dual-return profiles
+  (parsing.cpp:43-117 field tables).
+- ``ScanBatcher``: packet -> frame accumulation with frame-id rollover and
+  missing-column zeroing (lidar_scan.cpp:540-678).
+- ``make_xyz_lut`` / ``cartesian``: range image -> XYZ projection
+  (lidar_scan.cpp:297-396, impl/cartesian.h:36-73).
+- ``destagger`` (impl/lidar_scan_impl.h:317-337).
+- ``parse_imu_packet`` (parsing.cpp:450-498 offsets; unit conversion g ->
+  m/s^2, deg/s -> rad/s per os_ros.cpp:63-70).
+
+Per-point relative times follow the driver's sensor-time strategy
+(lidar_packet_handler.h:85-311): scan stamp = first valid column timestamp,
+per-point time = col_ts - scan_ts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional
+
+import numpy as np
+
+STANDARD_G = 9.80665
+
+PROFILE_LEGACY = "LEGACY"
+PROFILE_SINGLE = "RNG19_RFL8_SIG16_NIR16"
+PROFILE_DUAL = "RNG19_RFL8_SIG16_NIR16_DUAL"
+
+_CHAN_DATA_SIZE = {PROFILE_LEGACY: 12, PROFILE_SINGLE: 12, PROFILE_DUAL: 16}
+
+_MODE_FPS = {"512x10": 10, "512x20": 20, "1024x10": 10, "1024x20": 20,
+             "2048x10": 10, "4096x5": 5}
+_MODE_W = {"512x10": 512, "512x20": 512, "1024x10": 1024, "1024x20": 1024,
+           "2048x10": 2048, "4096x5": 4096}
+
+
+@dataclasses.dataclass
+class SensorInfo:
+    pixels_per_column: int
+    columns_per_frame: int
+    columns_per_packet: int
+    pixel_shift_by_row: np.ndarray
+    beam_azimuth_angles: np.ndarray      # deg, per row
+    beam_altitude_angles: np.ndarray     # deg, per row
+    beam_to_lidar: np.ndarray            # 4x4, mm translation
+    lidar_to_sensor: np.ndarray          # 4x4
+    udp_profile_lidar: str = PROFILE_SINGLE
+    lidar_mode: str = "1024x10"
+    sn: str = ""
+
+    @property
+    def fps(self) -> int:
+        return _MODE_FPS.get(self.lidar_mode, 10)
+
+    @classmethod
+    def from_json(cls, text: str) -> "SensorInfo":
+        """Parse sensor metadata JSON (both flat legacy and nested
+        'sensor_info'/'lidar_data_format' layouts, cf. types.cpp
+        parse_metadata)."""
+        root = json.loads(text)
+        # Nested (non-legacy) layout support.
+        def get(key, default=None):
+            for scope in (root, root.get("data_format", {}),
+                          root.get("sensor_info", {}),
+                          root.get("lidar_data_format", {}),
+                          root.get("beam_intrinsics", {}),
+                          root.get("lidar_intrinsics", {}),
+                          root.get("config_params", {})):
+                if isinstance(scope, dict) and key in scope:
+                    return scope[key]
+            return default
+
+        h = int(get("pixels_per_column", 64))
+        mode = get("lidar_mode", "1024x10") or "1024x10"
+        w = int(get("columns_per_frame", _MODE_W.get(mode, 1024)))
+        shifts = get("pixel_shift_by_row")
+        if shifts is None:
+            shifts = [0] * h
+        beam_az = np.asarray(get("beam_azimuth_angles", [0.0] * h), float)
+        beam_alt = np.asarray(get("beam_altitude_angles", [0.0] * h), float)
+
+        b2l = np.eye(4)
+        btl = get("beam_to_lidar_transform")
+        if btl is not None:
+            b2l = np.asarray(btl, float).reshape(4, 4)
+        else:
+            origin = get("lidar_origin_to_beam_origin_mm", 0.0)
+            b2l[0, 3] = float(origin or 0.0)
+        l2s = np.asarray(get("lidar_to_sensor_transform",
+                             np.eye(4).reshape(-1).tolist()),
+                         float).reshape(4, 4)
+        profile = get("udp_profile_lidar") or PROFILE_LEGACY
+        return cls(h, w, int(get("columns_per_packet", 16)),
+                   np.asarray(shifts, int), beam_az, beam_alt, b2l, l2s,
+                   profile, mode, str(get("prod_sn", "")))
+
+
+class PacketFormat:
+    """Packet geometry + vectorized field extraction (parsing.cpp)."""
+
+    def __init__(self, info: SensorInfo):
+        self.info = info
+        profile = info.udp_profile_lidar
+        legacy = profile == PROFILE_LEGACY
+        self.legacy = legacy
+        self.h = info.pixels_per_column
+        self.cols = info.columns_per_packet
+        self.chan = _CHAN_DATA_SIZE[profile]
+        self.packet_header_size = 0 if legacy else 32
+        self.col_header_size = 16 if legacy else 12
+        self.col_footer_size = 4 if legacy else 0
+        self.packet_footer_size = 0 if legacy else 32
+        self.col_size = (self.col_header_size + self.h * self.chan
+                         + self.col_footer_size)
+        self.lidar_packet_size = (self.packet_header_size
+                                  + self.cols * self.col_size
+                                  + self.packet_footer_size)
+        self.imu_packet_size = 48
+
+    def parse_lidar_packet(self, buf: bytes):
+        """One packet -> (timestamps (C,), m_ids (C,), status (C,),
+        range (H, C) uint32, signal (H, C), reflectivity (H, C),
+        near_ir (H, C))."""
+        a = np.frombuffer(buf, np.uint8, count=self.lidar_packet_size)
+        cols = a[self.packet_header_size:
+                 self.packet_header_size + self.cols * self.col_size]
+        cols = cols.reshape(self.cols, self.col_size)
+        hdr = cols[:, : self.col_header_size]
+        ts = hdr[:, 0:8].copy().view(np.uint64)[:, 0]
+        m_id = hdr[:, 8:10].copy().view(np.uint16)[:, 0]
+        if self.legacy:
+            foot = cols[:, -4:].copy().view(np.uint32)[:, 0]
+            status = (foot == 0xFFFFFFFF).astype(np.uint32)
+        else:
+            status = (hdr[:, 10:12].copy().view(np.uint16)[:, 0] & 1).astype(
+                np.uint32)
+        px = cols[:, self.col_header_size: self.col_header_size
+                  + self.h * self.chan]
+        px = px.reshape(self.cols, self.h, self.chan)
+        word0 = px[:, :, 0:4].copy().view(np.uint32)[:, :, 0]
+        if self.legacy:
+            rng = word0 & 0x000FFFFF
+            refl = px[:, :, 4:6].copy().view(np.uint16)[:, :, 0]
+            sig = px[:, :, 6:8].copy().view(np.uint16)[:, :, 0]
+            nir = px[:, :, 8:10].copy().view(np.uint16)[:, :, 0]
+        else:
+            rng = word0 & 0x0007FFFF
+            refl = px[:, :, 4].astype(np.uint16) if self.chan == 12 else \
+                px[:, :, 3].astype(np.uint16)
+            sig = px[:, :, 6:8].copy().view(np.uint16)[:, :, 0] \
+                if self.chan == 12 else \
+                px[:, :, 8:10].copy().view(np.uint16)[:, :, 0]
+            nir = px[:, :, 8:10].copy().view(np.uint16)[:, :, 0] \
+                if self.chan == 12 else \
+                px[:, :, 12:14].copy().view(np.uint16)[:, :, 0]
+        return (ts, m_id, status, rng.T, sig.T, refl.T, nir.T)
+
+    def parse_imu_packet(self, buf: bytes):
+        """-> (sys_ts_ns, accel (3,) m/s^2, gyro (3,) rad/s)
+        (parsing.cpp:450-498, os_ros.cpp:63-70 units)."""
+        a = np.frombuffer(buf, np.uint8, count=self.imu_packet_size)
+        sys_ts = int(a[0:8].copy().view(np.uint64)[0])
+        f = a[24:48].copy().view(np.float32)
+        accel = f[0:3].astype(np.float64) * STANDARD_G
+        gyro = f[3:6].astype(np.float64) * np.pi / 180.0
+        return sys_ts, accel, gyro
+
+
+@dataclasses.dataclass
+class LidarScan:
+    """Column-major frame (lidar_scan.h): per-column headers + field images."""
+    timestamp: np.ndarray     # (W,) uint64 ns
+    status: np.ndarray        # (W,) 1 = valid
+    measurement_id: np.ndarray
+    range: np.ndarray         # (H, W) uint32 mm
+    signal: np.ndarray
+    reflectivity: np.ndarray
+    near_ir: np.ndarray
+    frame_id: int = -1
+
+
+class ScanBatcher:
+    """Accumulate packets into complete LidarScans (lidar_scan.cpp:540-678):
+    rollover on frame_id change, missing columns stay zero/invalid."""
+
+    def __init__(self, info: SensorInfo):
+        self.info = info
+        self.pf = PacketFormat(info)
+        self._scan = self._empty()
+        self._frame_id = -1
+
+    def _empty(self) -> LidarScan:
+        h, w = self.info.pixels_per_column, self.info.columns_per_frame
+        return LidarScan(np.zeros(w, np.uint64), np.zeros(w, np.uint32),
+                         np.zeros(w, np.uint16),
+                         np.zeros((h, w), np.uint32),
+                         np.zeros((h, w), np.uint16),
+                         np.zeros((h, w), np.uint16),
+                         np.zeros((h, w), np.uint16))
+
+    def push(self, buf: bytes) -> Optional[LidarScan]:
+        """Feed one lidar packet; returns a completed frame or None."""
+        if self.pf.legacy:
+            frame_id = int(np.frombuffer(buf, np.uint16, 1,
+                                         offset=10)[0])
+        else:
+            frame_id = int(np.frombuffer(buf, np.uint16, 1, offset=2)[0])
+        done = None
+        if frame_id != self._frame_id and self._frame_id != -1:
+            done = self._scan
+            done.frame_id = self._frame_id
+            self._scan = self._empty()
+        self._frame_id = frame_id
+
+        ts, m_id, status, rng, sig, refl, nir = self.pf.parse_lidar_packet(buf)
+        w = self.info.columns_per_frame
+        ok = (status == 1) & (m_id < w)
+        cols = m_id[ok].astype(int)
+        s = self._scan
+        s.timestamp[cols] = ts[ok]
+        s.status[cols] = 1
+        s.measurement_id[cols] = m_id[ok]
+        s.range[:, cols] = rng[:, ok]
+        s.signal[:, cols] = sig[:, ok]
+        s.reflectivity[:, cols] = refl[:, ok]
+        s.near_ir[:, cols] = nir[:, ok]
+        return done
+
+    def flush(self) -> Optional[LidarScan]:
+        if self._frame_id == -1:
+            return None
+        done = self._scan
+        done.frame_id = self._frame_id
+        self._scan = self._empty()
+        self._frame_id = -1
+        return done
+
+
+def make_xyz_lut(info: SensorInfo, use_extrinsics: bool = False):
+    """Direction/offset LUT (lidar_scan.cpp:297-382). Returns
+    (direction (H*W, 3), offset (H*W, 3)) in meters, row-major (u*W + v)."""
+    h, w = info.pixels_per_column, info.columns_per_frame
+    range_unit = 0.001  # mm -> m
+
+    b2l = info.beam_to_lidar
+    dist_mm = b2l[0, 3]
+    if b2l[2, 3] != 0:
+        dist_mm = np.sqrt(b2l[0, 3] ** 2 + b2l[2, 3] ** 2)
+
+    v = np.arange(w)
+    u = np.arange(h)
+    az_rad = 2.0 * np.pi / w
+    encoder = np.broadcast_to(2.0 * np.pi - v * az_rad, (h, w)).reshape(-1)
+    azimuth = np.repeat(-info.beam_azimuth_angles * np.pi / 180.0, w)
+    altitude = np.repeat(info.beam_altitude_angles * np.pi / 180.0, w)
+
+    direction = np.stack([
+        np.cos(encoder + azimuth) * np.cos(altitude),
+        np.sin(encoder + azimuth) * np.cos(altitude),
+        np.sin(altitude)], axis=-1)
+    offset = np.stack([
+        np.cos(encoder) * b2l[0, 3] - direction[:, 0] * dist_mm,
+        np.sin(encoder) * b2l[0, 3] - direction[:, 1] * dist_mm,
+        -direction[:, 2] * dist_mm + b2l[2, 3]], axis=-1)
+
+    T = info.lidar_to_sensor if not use_extrinsics else info.lidar_to_sensor
+    rot, trans = T[:3, :3], T[:3, 3]
+    direction = direction @ rot.T
+    offset = offset @ rot.T + trans
+    return direction * range_unit, offset * range_unit
+
+
+def cartesian(range_img: np.ndarray, direction: np.ndarray,
+              offset: np.ndarray) -> np.ndarray:
+    """Range image (H, W) -> XYZ (H*W, 3); zero range stays at origin
+    (lidar_scan.cpp:384-396)."""
+    r = range_img.reshape(-1, 1).astype(np.float64)
+    xyz = direction * r
+    nonzero = xyz != 0.0
+    return np.where(nonzero.any(axis=-1, keepdims=True), xyz + offset, xyz)
+
+
+def destagger(img: np.ndarray, pixel_shift_by_row: np.ndarray,
+              inverse: bool = False) -> np.ndarray:
+    """Per-row circular shift (impl/lidar_scan_impl.h:317-337)."""
+    out = np.empty_like(img)
+    w = img.shape[1]
+    sign = -1 if inverse else 1
+    for u, shift in enumerate(pixel_shift_by_row):
+        out[u] = np.roll(img[u], sign * int(shift))
+    return out
+
+
+def scan_to_points(scan: LidarScan, direction: np.ndarray,
+                   offset: np.ndarray):
+    """LidarScan -> (xyz (H*W, 3) f32, rel_t (H*W,) f32 seconds, valid).
+
+    Sensor-time strategy: scan stamp = earliest valid column timestamp;
+    per-point time = column ts - scan stamp (os_ros.cpp:117-229 relative
+    timestamps). Returns (xyz, rel_t, valid, scan_stamp_ns)."""
+    h, w = scan.range.shape
+    valid_col = scan.status.astype(bool)
+    ts = scan.timestamp
+    scan_ts = ts[valid_col].min() if valid_col.any() else np.uint64(0)
+    rel = np.where(valid_col, (ts - scan_ts).astype(np.int64), 0) * 1e-9
+    xyz = cartesian(scan.range, direction, offset).astype(np.float32)
+    rel_t = np.broadcast_to(rel[None, :], (h, w)).reshape(-1).astype(
+        np.float32)
+    valid = ((scan.range.reshape(-1) > 0)
+             & np.broadcast_to(valid_col[None, :], (h, w)).reshape(-1))
+    return xyz, rel_t, valid, int(scan_ts)

@@ -1,0 +1,150 @@
+"""Ouster ingest layer tests: metadata parse (against the reference's
+firmware fixture files read as data), synthetic packet building/batching,
+projection geometry."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from noetic_slam_tpu.io import ouster as ou
+
+FIXDIR = "/root/reference/src/ouster/ouster-sdk/tests/metadata"
+
+
+def _simple_info(h=4, w=32, profile=ou.PROFILE_SINGLE):
+    return ou.SensorInfo(
+        pixels_per_column=h, columns_per_frame=w, columns_per_packet=8,
+        pixel_shift_by_row=np.zeros(h, int),
+        beam_azimuth_angles=np.zeros(h),
+        beam_altitude_angles=np.linspace(-10, 10, h),
+        beam_to_lidar=np.eye(4), lidar_to_sensor=np.eye(4),
+        udp_profile_lidar=profile)
+
+
+def _build_packet(pf: ou.PacketFormat, frame_id, m_ids, ts, rngs):
+    """Synthesize one RNG19 single-return packet (parsing.cpp layout)."""
+    assert not pf.legacy
+    buf = bytearray(pf.lidar_packet_size)
+    buf[2:4] = int(frame_id).to_bytes(2, "little")
+    for c in range(pf.cols):
+        base = pf.packet_header_size + c * pf.col_size
+        buf[base:base + 8] = int(ts[c]).to_bytes(8, "little")
+        buf[base + 8:base + 10] = int(m_ids[c]).to_bytes(2, "little")
+        buf[base + 10:base + 12] = (1).to_bytes(2, "little")  # status valid
+        for u in range(pf.h):
+            px = base + pf.col_header_size + u * pf.chan
+            word = int(rngs[u, c]) & 0x0007FFFF
+            buf[px:px + 4] = word.to_bytes(4, "little")
+            buf[px + 4] = (u * 7) % 255            # reflectivity
+            buf[px + 6:px + 8] = (u * 100 % 65535).to_bytes(2, "little")
+    return bytes(buf)
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXDIR),
+                    reason="reference metadata fixtures unavailable")
+def test_metadata_fixture_parse():
+    n_parsed = 0
+    for path in sorted(glob.glob(os.path.join(FIXDIR, "*.json")))[:10]:
+        info = ou.SensorInfo.from_json(open(path).read())
+        assert info.pixels_per_column in (16, 32, 64, 128)
+        assert info.columns_per_frame in (512, 1024, 2048, 4096)
+        assert len(info.beam_altitude_angles) == info.pixels_per_column
+        assert len(info.pixel_shift_by_row) == info.pixels_per_column
+        d, o = ou.make_xyz_lut(info)
+        assert d.shape == (info.pixels_per_column * info.columns_per_frame, 3)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1e-3,
+                                   rtol=1e-6)  # unit dirs * range_unit
+        n_parsed += 1
+    assert n_parsed >= 5
+
+
+def test_packet_roundtrip_and_batching():
+    info = _simple_info()
+    pf = ou.PacketFormat(info)
+    batcher = ou.ScanBatcher(info)
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for f in range(2):
+        for p in range(info.columns_per_frame // info.columns_per_packet):
+            m_ids = np.arange(p * 8, p * 8 + 8)
+            ts = 1_000_000 * (f + 1) + m_ids * 100
+            rngs = rng.integers(500, 100_000, size=(pf.h, 8))
+            done = batcher.push(_build_packet(pf, f, m_ids, ts, rngs))
+            if done is not None:
+                frames.append(done)
+    done = batcher.flush()
+    if done is not None:
+        frames.append(done)
+    assert len(frames) == 2
+    s = frames[0]
+    assert s.frame_id == 0
+    assert s.status.all()
+    assert (s.range > 0).all()
+    # timestamps increase with measurement id
+    assert (np.diff(s.timestamp.astype(np.int64)) == 100).all()
+
+
+def test_projection_geometry():
+    """A range return on a beam with known altitude must land at the right
+    elevation; encoder azimuth must rotate around z."""
+    info = _simple_info(h=2, w=16)
+    info.beam_altitude_angles = np.array([0.0, 30.0])
+    d, o = ou.make_xyz_lut(info)
+    rng_img = np.zeros((2, 16), np.uint32)
+    rng_img[0, 0] = 10_000  # 10 m on the level beam at encoder col 0
+    rng_img[1, 4] = 10_000  # 10 m on the 30-deg beam at col 4
+    xyz = ou.cartesian(rng_img, d, o)
+    p0 = xyz.reshape(2, 16, 3)[0, 0]
+    p1 = xyz.reshape(2, 16, 3)[1, 4]
+    np.testing.assert_allclose(p0[2], 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.linalg.norm(p0), 10.0, rtol=1e-6)
+    np.testing.assert_allclose(p1[2], 10.0 * np.sin(np.radians(30)),
+                               rtol=1e-6)
+    # col 4 of 16 -> encoder angle 2pi - 4/16*2pi; both beams rotate with it
+    ang = np.arctan2(p1[1], p1[0]) % (2 * np.pi)
+    np.testing.assert_allclose(ang, 2 * np.pi - 4 / 16 * 2 * np.pi,
+                               rtol=1e-5)
+    # zero-range pixels stay at the origin
+    assert (xyz.reshape(2, 16, 3)[0, 1] == 0).all()
+
+
+def test_destagger_roundtrip(rng):
+    img = rng.integers(0, 100, size=(4, 16)).astype(np.uint16)
+    shifts = np.array([0, 3, 6, 9])
+    st = ou.destagger(img, shifts)
+    back = ou.destagger(st, shifts, inverse=True)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_imu_packet_parse():
+    pf = ou.PacketFormat(_simple_info())
+    buf = bytearray(48)
+    buf[0:8] = (123456789).to_bytes(8, "little")
+    vals = np.array([0.1, -0.2, 1.0, 10.0, -20.0, 30.0], np.float32)
+    buf[24:48] = vals.tobytes()
+    ts, accel, gyro = pf.parse_imu_packet(bytes(buf))
+    assert ts == 123456789
+    np.testing.assert_allclose(accel, vals[:3] * ou.STANDARD_G, rtol=1e-6)
+    np.testing.assert_allclose(gyro, np.radians(vals[3:]), rtol=1e-6)
+
+
+def test_scan_to_points_relative_times():
+    info = _simple_info()
+    pf = ou.PacketFormat(info)
+    batcher = ou.ScanBatcher(info)
+    rng = np.random.default_rng(1)
+    for p in range(info.columns_per_frame // 8):
+        m_ids = np.arange(p * 8, p * 8 + 8)
+        ts = 5_000_000_000 + m_ids.astype(np.uint64) * 1_000_000
+        rngs = rng.integers(500, 50_000, size=(pf.h, 8))
+        batcher.push(_build_packet(pf, 1, m_ids, ts, rngs))
+    scan = batcher.flush()
+    d, o = ou.make_xyz_lut(info)
+    xyz, rel_t, valid, stamp = ou.scan_to_points(scan, d, o)
+    assert stamp == 5_000_000_000
+    assert valid.all()
+    np.testing.assert_allclose(rel_t.reshape(4, 32)[0],
+                               np.arange(32) * 1e-3, atol=1e-9)
