@@ -76,6 +76,10 @@ class GicpConfig:
     rotation_epsilon: float = 0.01
     init_lambda_factor: float = 1e-9
     lm_max_iterations: int = 10        # inner LM lambda-search iterations
+    # NN engine for correspondences/covariances: "brute" = tiled MXU
+    # brute force (fastest on TPU: contiguous compute beats random gathers);
+    # "grid" = bucketed grid index (fastest on CPU / very large targets).
+    nn_engine: str = "brute"
 
 
 @dataclass(frozen=True)

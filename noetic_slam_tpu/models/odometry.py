@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from noetic_slam_tpu.config.params import DlioConfig
 from noetic_slam_tpu.ops import gicp as gicp_ops
+from noetic_slam_tpu.ops import gridnn
 from noetic_slam_tpu.ops import imu as imu_ops
 from noetic_slam_tpu.ops.deskew import deskew_points, transform_cloud
 from noetic_slam_tpu.ops.pointcloud import (
@@ -88,6 +89,11 @@ class OdomState(NamedTuple):
     submap_valid: Array # (S,)
     submap_cov: Array   # (S, 6)
     submap_mask: Array  # (K,) bool — current keyframe selection
+    # Grid-NN index over the submap (ops.gridnn), rebuilt on submap swap.
+    grid_xyz: Array     # (S, 3) submap points sorted by cell key
+    grid_keys: Array    # (S,) sorted cell keys
+    grid_order: Array   # (S,) original submap index per sorted point
+    grid_origin: Array  # (3,)
     # Adaptive-parameter LPF states (odom.cc:1398-1437).
     spaciousness: Array # ()
     density: Array      # ()
@@ -199,6 +205,10 @@ def init_state(cfg: DlioConfig, q0=None, ba0=None, bg0=None) -> OdomState:
         submap_valid=jnp.zeros((S,), bool),
         submap_cov=jnp.zeros((S, 6), f32),
         submap_mask=jnp.zeros((K,), bool),
+        grid_xyz=jnp.full((S, 3), SENTINEL, f32),
+        grid_keys=jnp.full((S,), jnp.iinfo(jnp.int32).max, jnp.int32),
+        grid_order=jnp.zeros((S,), jnp.int32),
+        grid_origin=jnp.zeros((3,), f32),
         spaciousness=jnp.asarray(0.0, f32), density=jnp.asarray(0.0, f32),
         source_density=jnp.asarray(0.0, f32),
         keyframe_thresh_dist=jnp.asarray(cfg.keyframe.thresh_dist, f32),
@@ -443,6 +453,11 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
     if align_fn is None:
         align_fn = gicp_ops.gicp_align
 
+    # Grid cell must cover the largest adaptive correspondence radius
+    # (setAdaptiveParams caps it at 2 * max_corr_dist, odom.cc:1612-1621).
+    grid_cell = 2.0 * cfg.gicp.max_corr_dist
+    use_grid = cfg.gicp.nn_engine == "grid"
+
     cap = cfg.capacity
     ext_R = jnp.asarray(cfg.extrinsics.baselink2lidar_R,
                         jnp.float32).reshape(3, 3)
@@ -516,7 +531,8 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
 
         # ---- source covariances (setInputSource, odom.cc:720-723) ---------
         src_cov, src_density = gicp_ops.plane_covariances(
-            ds_xyz, ds_valid, cfg.gicp.k_correspondences)
+            ds_xyz, ds_valid, cfg.gicp.k_correspondences,
+            use_grid=use_grid, cell=4.0 * cfg.preproc.voxel_res)
 
         # ---- observer IMU-rate propagation over the inter-scan interval ---
         # (propagateState per IMU sample, odom.cc:1248-1284; gated on
@@ -545,13 +561,23 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
             st = st._replace(
                 submap_xyz=sm_xyz, submap_valid=sm_valid, submap_cov=sm_cov,
                 submap_mask=mask, T_prior=T_prior)
+            if use_grid:
+                grid = gridnn.build_grid(sm_xyz, sm_valid, grid_cell)
+                st = st._replace(
+                    grid_xyz=grid.xyz, grid_keys=grid.keys,
+                    grid_order=grid.order, grid_origin=grid.origin)
             return st, (jnp.array(True), zero_diag)
 
         # ---- branch: full registration step (getNextPose, odom.cc:984) ----
         def register(state):
+            grid = (gridnn.Grid(state.grid_xyz, state.grid_keys,
+                                state.grid_order, state.grid_origin,
+                                jnp.asarray(grid_cell, jnp.float32))
+                    if use_grid else None)
             res = align_fn(
                 ds_xyz, ds_valid, src_cov, state.submap_xyz,
-                state.submap_cov, cfg.gicp, max_corr_dist=max_corr)
+                state.submap_cov, cfg.gicp, max_corr_dist=max_corr,
+                target_grid=grid)
             T_corr = res.T
             T_new = T_corr @ T_prior
             lq, lp = se3_q_p(T_new)       # propagateGICP, odom.cc:1230-1246
@@ -567,13 +593,20 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
             mask = select_submap_keyframes(cfg, st)
             changed = jnp.any(mask != st.submap_mask)
             sm_xyz, sm_valid, sm_cov = gather_submap(cfg, st, mask)
+            sel = lambda a, b: jnp.where(changed, a, b)
             st = st._replace(
-                submap_xyz=jnp.where(changed, sm_xyz, st.submap_xyz),
-                submap_valid=jnp.where(changed, sm_valid, st.submap_valid),
-                submap_cov=jnp.where(changed[..., None],
-                                     sm_cov, st.submap_cov),
+                submap_xyz=sel(sm_xyz, st.submap_xyz),
+                submap_valid=sel(sm_valid, st.submap_valid),
+                submap_cov=sel(sm_cov, st.submap_cov),
                 submap_mask=mask,
                 first_opt_done=jnp.array(True))
+            if use_grid:
+                new_grid = gridnn.build_grid(sm_xyz, sm_valid, grid_cell)
+                st = st._replace(
+                    grid_xyz=sel(new_grid.xyz, st.grid_xyz),
+                    grid_keys=sel(new_grid.keys, st.grid_keys),
+                    grid_order=sel(new_grid.order, st.grid_order),
+                    grid_origin=sel(new_grid.origin, st.grid_origin))
             return st, (is_kf, (res.iterations, res.error, res.num_corr))
 
         def process(state):

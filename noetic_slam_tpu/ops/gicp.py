@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from noetic_slam_tpu.config.params import GicpConfig
-from noetic_slam_tpu.ops import neighbors
+from noetic_slam_tpu.ops import gridnn, neighbors
 from noetic_slam_tpu.utils.geometry import quat_to_mat, skew, so3_exp_quat
 
 Array = jax.Array
@@ -124,8 +124,10 @@ def _smallest_eigvec_sym3(m: Array) -> Array:
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def plane_covariances(xyz: Array, valid: Array, k: int = 16):
+@partial(jax.jit, static_argnames=("k", "use_grid", "max_per_cell"))
+def plane_covariances(xyz: Array, valid: Array, k: int = 16,
+                      use_grid: bool = False, cell: float = 1.0,
+                      max_per_cell: int = 64):
     """Per-point plane-regularized covariances + source density.
 
     For each point: take its k nearest neighbors *within the same cloud*
@@ -138,8 +140,19 @@ def plane_covariances(xyz: Array, valid: Array, k: int = 16):
       density: () mean over valid points of sum(sqd[1:]) / ((k-1)(k+2)/2)
         (nano_gicp.cc:346-348, 389).
     """
-    idx, sqd = neighbors.knn(xyz, xyz, k)
-    nb = xyz[idx]                                   # (N, k, 3)
+    if use_grid:
+        grid = gridnn.build_grid(xyz, valid, cell)
+        idx, sqd = gridnn.grid_knn(xyz, grid, k, max_per_cell=max_per_cell)
+        # Missing neighbors (sqd = inf beyond the 27-cell reach): substitute
+        # the query point itself — zero covariance contribution, and the
+        # density metric masks them below.
+        found = jnp.isfinite(sqd)
+        idx = jnp.where(found, idx, 0)
+        nb = jnp.where(found[..., None], xyz[idx], xyz[:, None, :])
+        sqd = jnp.where(found, sqd, 0.0)
+    else:
+        idx, sqd = neighbors.knn(xyz, xyz, k)
+        nb = xyz[idx]                               # (N, k, 3)
     mean = jnp.mean(nb, axis=1, keepdims=True)
     d = nb - mean
     cov = jnp.einsum("nki,nkj->nij", d, d,
@@ -174,10 +187,22 @@ class Correspondences(NamedTuple):
 
 def update_correspondences(src_xyz: Array, src_valid: Array, src_cov6: Array,
                            tgt_xyz: Array, tgt_cov6: Array, T: Array,
-                           max_corr_dist: Array) -> Correspondences:
-    """NN correspondences + Mahalanobis weights at transform T (4x4)."""
+                           max_corr_dist: Array,
+                           target_grid=None, max_per_cell: int = 64
+                           ) -> Correspondences:
+    """NN correspondences + Mahalanobis weights at transform T (4x4).
+
+    With ``target_grid`` (ops.gridnn.Grid over tgt_xyz, cell >= the max
+    correspondence distance) the search is grid-bucketed — exact for the
+    thresholded correspondences GICP keeps; otherwise brute-force MXU NN."""
     transed = src_xyz @ T[:3, :3].T + T[:3, 3]
-    idx, sqd = neighbors.nn1(transed, tgt_xyz)
+    if target_grid is not None:
+        idx, sqd = gridnn.grid_nn1(transed, target_grid,
+                                   max_per_cell=max_per_cell)
+        idx = jnp.where(jnp.isfinite(sqd), idx, 0)
+        sqd = jnp.where(jnp.isfinite(sqd), sqd, 1e30)
+    else:
+        idx, sqd = neighbors.nn1(transed, tgt_xyz)
     accept = src_valid & (sqd < max_corr_dist * max_corr_dist)
 
     R = T[:3, :3]
@@ -256,7 +281,8 @@ class AlignResult(NamedTuple):
 def gicp_align(src_xyz: Array, src_valid: Array, src_cov6: Array,
                tgt_xyz: Array, tgt_cov6: Array,
                cfg: GicpConfig, max_corr_dist: Array | float | None = None,
-               guess: Array | None = None) -> AlignResult:
+               guess: Array | None = None, target_grid=None,
+               max_per_cell: int = 64) -> AlignResult:
     """Full GICP alignment: LM over SE(3) with per-iteration correspondence
     refresh, replicating NanoGICP::computeTransformation +
     LsqRegistration::computeTransformation/step_lm.
@@ -272,7 +298,9 @@ def gicp_align(src_xyz: Array, src_valid: Array, src_cov6: Array,
 
     def relinearize(T):
         corr = update_correspondences(src_xyz, src_valid, src_cov6,
-                                      tgt_xyz, tgt_cov6, T, mcd)
+                                      tgt_xyz, tgt_cov6, T, mcd,
+                                      target_grid=target_grid,
+                                      max_per_cell=max_per_cell)
         H, b, y0 = linearize(src_xyz, tgt_xyz, corr, T)
         return corr, H, b, y0
 
