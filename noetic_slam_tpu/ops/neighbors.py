@@ -66,15 +66,28 @@ def _pad_to_multiple(x: Array, chunk: int) -> Array:
     return x
 
 
-@partial(jax.jit, static_argnames=("query_chunk", "target_chunk"))
 def nn1(query: Array, target: Array, *, query_chunk: int = 1024,
         target_chunk: int = 8192) -> tuple[Array, Array]:
     """1-NN: for each query point, index + squared distance of the nearest
     target point. Replaces nanoflann nearestKSearch(pt, 1, ...) as used in
     GICP correspondence search (nano_gicp.cc:225-230).
 
+    Dispatches to the fused Pallas kernel on TPU (distance + argmin without
+    leaving VMEM) when shapes tile cleanly; XLA path otherwise/elsewhere.
     Returns (idx (Nq,) int32, sqd (Nq,) float32).
     """
+    if (jax.default_backend() == "tpu" and query.shape[0] % 256 == 0
+            and target.shape[0] % 512 == 0):
+        from noetic_slam_tpu.ops.pallas.nn_kernel import nn1_fused
+
+        return nn1_fused(query, target)
+    return _nn1_xla(query, target, query_chunk=query_chunk,
+                    target_chunk=target_chunk)
+
+
+@partial(jax.jit, static_argnames=("query_chunk", "target_chunk"))
+def _nn1_xla(query: Array, target: Array, *, query_chunk: int = 1024,
+             target_chunk: int = 8192) -> tuple[Array, Array]:
     nq = query.shape[0]
     c = _center(query, jnp.all(jnp.abs(query) < 1e5, axis=-1))
     qp = _pad_to_multiple(query, query_chunk)

@@ -63,3 +63,25 @@ def test_knn_self_query_includes_self(rng):
                              query_chunk=64, target_chunk=64)
     np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(64))
     np.testing.assert_allclose(np.asarray(sqd)[:, 0], 0.0, atol=1e-6)
+
+
+def test_nn1_fused_interpret_matches(rng):
+    """Pallas fused NN kernel logic (interpret mode) vs the XLA path."""
+    from functools import partial as _p
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    import noetic_slam_tpu.ops.pallas.nn_kernel as nk
+
+    orig = pl.pallas_call
+    pl.pallas_call = _p(orig, interpret=True)
+    try:
+        q = jnp.asarray(rng.normal(size=(512, 3)).astype(np.float32) * 10)
+        t = jnp.asarray(rng.normal(size=(2048, 3)).astype(np.float32) * 10)
+        i1, d1 = nk.nn1_fused(q, t)
+        i2, d2 = neighbors._nn1_xla(q, t, query_chunk=256, target_chunk=512)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+    finally:
+        pl.pallas_call = orig
