@@ -1,0 +1,189 @@
+"""Command-line interface — the replacement for the reference's launch/shell
+orchestration (scripts/dlio-launch.sh, scripts/compound-launch.sh,
+roslaunch XML; SURVEY.md §1 L5).
+
+Subcommands:
+  slam     Run the full SLAM system over a MulRan directory (or synthetic),
+           writing trajectory (TUM), sparse map (PCD), dense/TSDF map (PLY).
+  bench    Synthetic benchmark (same as bench.py).
+  info     Print config + device inventory.
+
+Examples:
+  python -m noetic_slam_tpu.cli slam --mulran /data/KAIST03 --out out/
+  python -m noetic_slam_tpu.cli slam --synthetic 10 --out out/
+  python -m noetic_slam_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from noetic_slam_tpu.config.params import DlioConfig
+
+    cfg = DlioConfig() if not args.config else None
+    if args.config:
+        from noetic_slam_tpu.config.params import load_config
+
+        cfg = load_config(args.config)
+    print("backend:", jax.default_backend())
+    print("devices:", jax.devices())
+    import dataclasses
+
+    print(json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
+    return 0
+
+
+def cmd_slam(args) -> int:
+    import numpy as np
+
+    from noetic_slam_tpu.config.params import load_config
+    from noetic_slam_tpu.io.export import (write_pcd, write_ply,
+                                           write_tum_trajectory)
+    from noetic_slam_tpu.io.replay import replay_dataset
+    from noetic_slam_tpu.models.mapping import KeyframeMap
+    from noetic_slam_tpu.runtime.metrics import SlamMetrics
+    from noetic_slam_tpu.runtime.slam import SlamSystem
+
+    cfg = load_config(args.config)
+    os.makedirs(args.out, exist_ok=True)
+    slam = SlamSystem(cfg, enable_tsdf=not args.no_tsdf,
+                      enable_loop_closure=not args.no_loop_closure)
+    metrics = SlamMetrics()
+
+    t0 = time.perf_counter()
+    if args.mulran:
+        from noetic_slam_tpu.io.mulran import MulranDataset
+
+        ds = MulranDataset.load(args.mulran)
+        print(f"loaded MulRan: {len(ds.scan_stamps)} scans, "
+              f"{len(ds.imu_stamps)} imu samples (v{ds.imu_version})")
+
+        kf_sync = {"n": 0}
+
+        def on_scan(idx, out):
+            metrics.scan_done(float(ds.scan_stamps[idx]),
+                              time.perf_counter() - t0, [0, 0, 0], False)
+            if idx % args.loop_every == 0 and idx > 0:
+                slam.maybe_close_loop()
+            if args.progress and idx % 50 == 0:
+                print(f"scan {idx}", file=sys.stderr)
+
+        class _Pipe:
+            """Adapter: replay_dataset drives the SlamSystem."""
+            calibrated = property(lambda self: slam.odometry.calibrated)
+
+            def push_imu(self, *a):
+                slam.push_imu(*a)
+
+            def process_scan(self, *a, **k):
+                return slam.process_scan(*a, **k)
+
+        stats = replay_dataset(ds, _Pipe(), rate=args.rate,
+                               max_scans=args.max_scans, on_scan=on_scan)
+        print("replay:", stats)
+        gt = (np.column_stack([ds.gt_stamps, ds.gt_poses[:, :, 3]])
+              if ds.gt_stamps is not None else None)
+    else:
+        from noetic_slam_tpu.utils import synthetic
+
+        sim = synthetic.make_sim(duration=float(args.synthetic),
+                                 calib_time=3.1, n_points=4096, seed=11)
+        imu_i = 0
+        for s in range(len(sim.scan_stamps)):
+            header, xyz, pt = sim.scan(s)
+            sweep_end = header + pt.max()
+            while (imu_i < len(sim.imu_stamps)
+                   and sim.imu_stamps[imu_i] <= sweep_end + 0.02):
+                slam.push_imu(sim.imu_stamps[imu_i], sim.imu_ang[imu_i],
+                              sim.imu_acc[imu_i])
+                imu_i += 1
+            slam.process_scan(header, xyz, pt)
+            if s % args.loop_every == 0 and s > 0:
+                slam.maybe_close_loop()
+        gt = np.column_stack([sim.gt_stamps, sim.gt_pos])
+
+    traj = slam.flush()
+    if len(traj):
+        write_tum_trajectory(os.path.join(args.out, "trajectory.tum"), traj)
+        print(f"trajectory: {len(traj)} poses -> trajectory.tum")
+        if gt is not None:
+            from noetic_slam_tpu.utils.synthetic import ate_rmse
+
+            ate = ate_rmse(traj[:, 0], traj[:, 1:4], gt[:, 0], gt[:, 1:4])
+            print(f"ATE RMSE vs ground truth: {ate:.4f} m")
+
+    km = KeyframeMap(leaf_size=cfg.map.sparse_leaf_size)
+    km.update(slam.odometry.state)
+    if km.save_pcd(cfg.map.sparse_leaf_size, args.out):
+        print(f"sparse map: {len(km.cloud())} pts -> dlio_map.pcd")
+
+    if slam.tsdf is not None:
+        surf = slam.surface_points()
+        if len(surf):
+            write_ply(os.path.join(args.out, "tsdf_surface.ply"), surf)
+            print(f"tsdf surface: {len(surf)} pts -> tsdf_surface.ply")
+
+    if args.checkpoint:
+        from noetic_slam_tpu.runtime.checkpoint import save_pipeline
+
+        save_pipeline(os.path.join(args.out, "state.nst.npz"),
+                      slam.odometry, slam.tsdf, slam.graph)
+        print("checkpoint -> state.nst.npz")
+
+    print(json.dumps(metrics.summary()))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="noetic_slam_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("slam", help="run SLAM over a dataset")
+    ps.add_argument("--mulran", help="MulRan sequence directory")
+    ps.add_argument("--synthetic", default=None,
+                    help="simulate N seconds instead of a dataset")
+    ps.add_argument("--out", default="out", help="output directory")
+    ps.add_argument("--config", default=None, help="YAML config overrides")
+    ps.add_argument("--rate", type=float, default=0.0,
+                    help="replay pacing (0 = as fast as possible)")
+    ps.add_argument("--max-scans", type=int, default=None)
+    ps.add_argument("--loop-every", type=int, default=20,
+                    help="attempt loop closure every N scans")
+    ps.add_argument("--no-tsdf", action="store_true")
+    ps.add_argument("--no-loop-closure", action="store_true")
+    ps.add_argument("--checkpoint", action="store_true")
+    ps.add_argument("--progress", action="store_true")
+    ps.set_defaults(fn=cmd_slam)
+
+    pb = sub.add_parser("bench", help="synthetic benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("info", help="print config + devices")
+    pi.add_argument("--config", default=None)
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    if args.cmd == "slam" and not (args.mulran or args.synthetic):
+        p.error("slam requires --mulran DIR or --synthetic SECONDS")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
