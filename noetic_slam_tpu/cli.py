@@ -130,6 +130,16 @@ def cmd_slam(args) -> int:
         if len(surf):
             write_ply(os.path.join(args.out, "tsdf_surface.ply"), surf)
             print(f"tsdf surface: {len(surf)} pts -> tsdf_surface.ply")
+        if args.mesh:
+            from noetic_slam_tpu.io.export import write_ply_mesh
+            from noetic_slam_tpu.io.meshing import extract_mesh
+
+            verts, faces = extract_mesh(cfg.tsdf, slam.tsdf)
+            if len(faces):
+                write_ply_mesh(os.path.join(args.out, "tsdf_mesh.ply"),
+                               verts, faces)
+                print(f"tsdf mesh: {len(verts)} verts / {len(faces)} tris "
+                      "-> tsdf_mesh.ply")
 
     if args.checkpoint:
         from noetic_slam_tpu.runtime.checkpoint import save_pipeline
@@ -167,6 +177,8 @@ def main(argv=None) -> int:
     ps.add_argument("--loop-every", type=int, default=20,
                     help="attempt loop closure every N scans")
     ps.add_argument("--no-tsdf", action="store_true")
+    ps.add_argument("--mesh", action="store_true",
+                    help="extract a surface-nets mesh from the TSDF")
     ps.add_argument("--no-loop-closure", action="store_true")
     ps.add_argument("--checkpoint", action="store_true")
     ps.add_argument("--progress", action="store_true")
