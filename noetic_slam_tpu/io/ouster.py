@@ -321,3 +321,31 @@ def scan_to_points(scan: LidarScan, direction: np.ndarray,
     valid = ((scan.range.reshape(-1) > 0)
              & np.broadcast_to(valid_col[None, :], (h, w)).reshape(-1))
     return xyz, rel_t, valid, int(scan_ts)
+
+
+def scan_images(scan: LidarScan, info: SensorInfo) -> dict:
+    """Destaggered sensor image products (ImageProcessor equivalent,
+    src/ouster/src/image_processor.h): range [m], signal, reflectivity,
+    near_ir as (H, W) float32 arrays, plus simple autoexposure-normalized
+    variants (the SDK's AutoExposure percentile stretch,
+    image_processing.cpp)."""
+    sh = info.pixel_shift_by_row
+
+    def de(img):
+        return destagger(img, sh).astype(np.float32)
+
+    out = {
+        "range": de(scan.range) * 1e-3,
+        "signal": de(scan.signal),
+        "reflectivity": de(scan.reflectivity),
+        "near_ir": de(scan.near_ir),
+    }
+    for k in ("signal", "reflectivity", "near_ir"):
+        img = out[k]
+        nz = img[img > 0]
+        if len(nz):
+            lo, hi = np.percentile(nz, [0.1, 99.9])
+            out[k + "_norm"] = np.clip((img - lo) / max(hi - lo, 1e-6), 0, 1)
+        else:
+            out[k + "_norm"] = img
+    return out

@@ -1,0 +1,101 @@
+"""Live sensor driver: UDP packets -> scans -> SLAM.
+
+The single-process composition of the reference's driver nodelet chain
+(OusterSensor connection loop + packet handlers + PointCloudProcessor,
+src/ouster/src/os_sensor_nodelet.cpp:510-570, os_driver_nodelet.cpp) and
+the odometry subscriber: the native UDP receiver thread
+(runtime.native.UdpSource ~ client.cpp poll loop) feeds the Python-side
+ScanBatcher; completed frames project through the XYZ LUT and go straight
+into the SLAM system — no serialization boundary.
+
+Timestamp strategies (lidar_packet_handler.h:85-311):
+- "sensor": scan stamp = first valid column timestamp (sensor clock).
+- "host":   scan stamp = host receive time of frame completion (the
+  TIME_FROM_ROS_TIME analog); per-point times stay relative to the sensor
+  column clock either way.
+
+Failure handling mirrors the driver's poll-error accounting
+(os_sensor_nodelet.cpp:458-469): consecutive read timeouts beyond a limit
+raise, so a supervisor can reset the source.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from noetic_slam_tpu.io import ouster as ou
+from noetic_slam_tpu.runtime import native
+
+
+class LiveDriver:
+    def __init__(self, slam, info: ou.SensorInfo, lidar_port: int = 7502,
+                 imu_port: int = 7503, timestamp_mode: str = "sensor",
+                 max_read_errors: int = 60):
+        self.slam = slam
+        self.info = info
+        self.pf = ou.PacketFormat(info)
+        self.batcher = ou.ScanBatcher(info)
+        self.direction, self.offset = ou.make_xyz_lut(info)
+        self.timestamp_mode = timestamp_mode
+        self.max_read_errors = max_read_errors
+        self.source = native.UdpSource(lidar_port, imu_port,
+                                       self.pf.lidar_packet_size,
+                                       self.pf.imu_packet_size)
+        self.n_scans = 0
+        self.n_imu = 0
+        self._errors = 0
+
+    def poll_once(self, timeout_ms: int = 100) -> bool:
+        """Drain available packets; process at most one completed frame.
+        Returns True if anything was received."""
+        got = False
+        imu_buf = self.source.read_imu(timeout_ms=0)
+        while imu_buf is not None:
+            ts_ns, accel, gyro = self.pf.parse_imu_packet(imu_buf)
+            stamp = (ts_ns * 1e-9 if self.timestamp_mode == "sensor"
+                     else time.time())
+            self.slam.push_imu(stamp, gyro, accel)
+            self.n_imu += 1
+            got = True
+            imu_buf = self.source.read_imu(timeout_ms=0)
+
+        pkt = self.source.read_lidar(timeout_ms=timeout_ms)
+        if pkt is None:
+            self._errors += 1
+            if self._errors >= self.max_read_errors:
+                raise TimeoutError(
+                    f"no lidar packets for {self.max_read_errors} polls "
+                    "(sensor reset required)")
+            return got
+        self._errors = 0
+        got = True
+        done = self.batcher.push(pkt)
+        if done is not None:
+            self._process_frame(done)
+        return got
+
+    def _process_frame(self, scan: ou.LidarScan) -> None:
+        xyz, rel_t, valid, scan_ts_ns = ou.scan_to_points(
+            scan, self.direction, self.offset)
+        header = (scan_ts_ns * 1e-9 if self.timestamp_mode == "sensor"
+                  else time.time())
+        xyz = np.where(valid[:, None], xyz, np.float32(np.nan))
+        try:
+            self.slam.process_scan(header, xyz, rel_t.astype(np.float64))
+            self.n_scans += 1
+        except Exception as e:  # NeedMoreImu during startup: drop frame
+            from noetic_slam_tpu.runtime.pipeline import NeedMoreImu
+
+            if not isinstance(e, NeedMoreImu):
+                raise
+
+    def run(self, duration_s: Optional[float] = None) -> None:
+        t0 = time.monotonic()
+        while duration_s is None or time.monotonic() - t0 < duration_s:
+            self.poll_once()
+
+    def close(self):
+        self.source.close()
