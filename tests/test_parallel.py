@@ -65,3 +65,38 @@ def test_sharded_posegraph_matches_single_device(rng, mesh8):
     dots = np.abs(np.sum(np.asarray(got.node_q) * np.asarray(ref.node_q),
                          axis=-1))
     np.testing.assert_allclose(dots, 1.0, atol=1e-6)
+
+
+def test_batched_odometry_matches_sequential(rng, mesh8):
+    """4 independent sequences via vmap+batch sharding == 4 sequential
+    runs."""
+    from noetic_slam_tpu.config.params import CapacityConfig, DlioConfig
+    from noetic_slam_tpu.models.odometry import init_state, make_odometry_step
+    from noetic_slam_tpu.parallel import batch as pb
+    from noetic_slam_tpu.parallel.mesh import make_mesh
+    from __graft_entry__ import _example_input, _tiny_cfg
+
+    cfg = _tiny_cfg()
+    mesh = make_mesh(4, axis="batch")
+    B = 4
+    inputs = [[_example_input(cfg, seed=b * 10 + s, header=0.0 if s == 0
+                              else 0.1) for s in range(3)] for b in range(B)]
+
+    # sequential reference
+    step = jax.jit(make_odometry_step(cfg))
+    seq_p = []
+    for b in range(B):
+        st = init_state(cfg)
+        for s in range(3):
+            st, out = step(st, inputs[b][s])
+        seq_p.append(np.asarray(out.lidar_p))
+
+    # batched + sharded
+    bstep = pb.make_batched_odometry_step(cfg)
+    bst = pb.shard_batched(mesh, pb.init_batched_state(cfg, B))
+    for s in range(3):
+        binp = pb.shard_batched(mesh, jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[inputs[b][s] for b in range(B)]))
+        bst, bout = bstep(bst, binp)
+    got = np.asarray(bout.lidar_p)
+    np.testing.assert_allclose(got, np.stack(seq_p), atol=1e-4)
