@@ -40,7 +40,13 @@ def main():
             max_points=32768, max_ds_points=8192, max_deskew_frames=2048,
             max_imu_window=128, max_keyframes=128, max_submap_kf=8)
         n_pts = 32768
-    cfg = DlioConfig(capacity=cap)
+    # Fixed 0.5 m keyframe spacing: the submap reaches its full
+    # max_submap_kf occupancy within the warmup so the steady state being
+    # timed carries a production-shaped registration target.
+    from noetic_slam_tpu.config.params import KeyframeConfig
+
+    cfg = DlioConfig(capacity=cap, adaptive=False,
+                     keyframe=KeyframeConfig(thresh_dist=0.5))
 
     dur = n_scans / 10.0 + 0.3
     sim = synthetic.make_sim(duration=dur, n_points=n_pts, calib_time=3.1,

@@ -80,6 +80,12 @@ class GicpConfig:
     # brute force (fastest on TPU: contiguous compute beats random gathers);
     # "grid" = bucketed grid index (fastest on CPU / very large targets).
     nn_engine: str = "brute"
+    # Covariance estimator: "radius" = Gaussian radius-weighted moments via
+    # matmuls (3x faster on TPU; identical normals, hence identical PLANE-
+    # regularized covariances); "knn" = the reference's exact k-NN
+    # neighborhoods (nano_gicp.cc:330-392).
+    cov_engine: str = "radius"
+    cov_radius: float = 0.5            # [m] neighborhood radius for "radius"
 
 
 @dataclass(frozen=True)

@@ -89,6 +89,7 @@ class OdomState(NamedTuple):
     submap_valid: Array # (S,)
     submap_cov: Array   # (S, 6)
     submap_mask: Array  # (K,) bool — current keyframe selection
+    submap_count: Array # () int32 — valid points (compacted to the front)
     # Grid-NN index over the submap (ops.gridnn), rebuilt on submap swap.
     grid_xyz: Array     # (S, 3) submap points sorted by cell key
     grid_keys: Array    # (S,) sorted cell keys
@@ -205,6 +206,7 @@ def init_state(cfg: DlioConfig, q0=None, ba0=None, bg0=None) -> OdomState:
         submap_valid=jnp.zeros((S,), bool),
         submap_cov=jnp.zeros((S, 6), f32),
         submap_mask=jnp.zeros((K,), bool),
+        submap_count=jnp.int32(0),
         grid_xyz=jnp.full((S, 3), SENTINEL, f32),
         grid_keys=jnp.full((S,), jnp.iinfo(jnp.int32).max, jnp.int32),
         grid_order=jnp.zeros((S,), jnp.int32),
@@ -434,8 +436,14 @@ def gather_submap(cfg: DlioConfig, state: OdomState, mask: Array):
                     SENTINEL)                       # (Smax_kf, Nk, 3)
     valid = state.kf_valid[safe] & used[:, None]
     cov = jnp.where(used[:, None, None], state.kf_cov[safe], 0.0)
-    return (xyz.reshape(Smax_kf * Nk, 3), valid.reshape(-1),
-            cov.reshape(Smax_kf * Nk, 6))
+    xyz = xyz.reshape(Smax_kf * Nk, 3)
+    valid = valid.reshape(-1)
+    cov = cov.reshape(Smax_kf * Nk, 6)
+    # Compact valid points to the front (stable) so the NN engines can skip
+    # the padded capacity entirely (dynamic t_count).
+    order = jnp.argsort(~valid, stable=True)
+    return (xyz[order], valid[order], cov[order],
+            valid.sum().astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -530,9 +538,13 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
         enough_points = ds_valid.sum() > cfg.gicp.min_num_points
 
         # ---- source covariances (setInputSource, odom.cc:720-723) ---------
-        src_cov, src_density = gicp_ops.plane_covariances(
-            ds_xyz, ds_valid, cfg.gicp.k_correspondences,
-            use_grid=use_grid, cell=4.0 * cfg.preproc.voxel_res)
+        if cfg.gicp.cov_engine == "radius":
+            src_cov, src_density = gicp_ops.radius_covariances(
+                ds_xyz, ds_valid, cfg.gicp.cov_radius)
+        else:
+            src_cov, src_density = gicp_ops.plane_covariances(
+                ds_xyz, ds_valid, cfg.gicp.k_correspondences,
+                use_grid=use_grid, cell=4.0 * cfg.preproc.voxel_res)
 
         # ---- observer IMU-rate propagation over the inter-scan interval ---
         # (propagateState per IMU sample, odom.cc:1248-1284; gated on
@@ -557,10 +569,10 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
             st = push_keyframe(state, ds_xyz, ds_valid, src_cov,
                                jnp.array(True))
             mask = select_submap_keyframes(cfg, st)
-            sm_xyz, sm_valid, sm_cov = gather_submap(cfg, st, mask)
+            sm_xyz, sm_valid, sm_cov, sm_count = gather_submap(cfg, st, mask)
             st = st._replace(
                 submap_xyz=sm_xyz, submap_valid=sm_valid, submap_cov=sm_cov,
-                submap_mask=mask, T_prior=T_prior)
+                submap_mask=mask, submap_count=sm_count, T_prior=T_prior)
             if use_grid:
                 grid = gridnn.build_grid(sm_xyz, sm_valid, grid_cell)
                 st = st._replace(
@@ -577,7 +589,7 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
             res = align_fn(
                 ds_xyz, ds_valid, src_cov, state.submap_xyz,
                 state.submap_cov, cfg.gicp, max_corr_dist=max_corr,
-                target_grid=grid)
+                target_grid=grid, target_count=state.submap_count)
             T_corr = res.T
             T_new = T_corr @ T_prior
             lq, lp = se3_q_p(T_new)       # propagateGICP, odom.cc:1230-1246
@@ -592,13 +604,14 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
 
             mask = select_submap_keyframes(cfg, st)
             changed = jnp.any(mask != st.submap_mask)
-            sm_xyz, sm_valid, sm_cov = gather_submap(cfg, st, mask)
+            sm_xyz, sm_valid, sm_cov, sm_count = gather_submap(cfg, st, mask)
             sel = lambda a, b: jnp.where(changed, a, b)
             st = st._replace(
                 submap_xyz=sel(sm_xyz, st.submap_xyz),
                 submap_valid=sel(sm_valid, st.submap_valid),
                 submap_cov=sel(sm_cov, st.submap_cov),
                 submap_mask=mask,
+                submap_count=sel(sm_count, st.submap_count),
                 first_opt_done=jnp.array(True))
             if use_grid:
                 new_grid = gridnn.build_grid(sm_xyz, sm_valid, grid_cell)

@@ -174,6 +174,83 @@ def plane_covariances(xyz: Array, valid: Array, k: int = 16,
     return mat_to_sym6(reg), density
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def radius_covariances(xyz: Array, valid: Array, radius: float = 0.5,
+                       chunk: int = 1024):
+    """Plane covariances from Gaussian radius-weighted neighborhoods —
+    the matmul-only alternative to kNN covariances.
+
+    Rationale: PLANE regularization (nano_gicp.cc:367-371) discards the
+    eigenvalues entirely and keeps only the *normal direction*; any
+    neighborhood estimator with the same principal directions yields the
+    same regularized covariance. Gaussian weights w = exp(-d^2 / (2 sigma^2))
+    (sigma = radius/2) give weighted moments
+
+        s_i = sum_j w_ij,  m_i = sum_j w_ij x_j,  S_i = sum_j w_ij x_j x_j^T
+
+    as three MXU matmuls over the d^2 tiles — no top_k, no gathers. The
+    density metric is the weighted mean neighbor distance scaled to match
+    the reference's kNN statistic on uniform surface sampling.
+
+    Returns (covs (N, 6), density ()).
+    """
+    n = xyz.shape[0]
+    if n % chunk:
+        chunk = n  # small capacities: single chunk
+    w_valid = valid.astype(jnp.float32)
+    cnt = jnp.maximum(w_valid.sum(), 1.0)
+    c = jnp.sum(xyz * w_valid[:, None], axis=0) / cnt
+    xc = (xyz - c) * w_valid[:, None]     # invalid -> origin (masked below)
+    sig2 = (radius * 0.5) ** 2
+
+    xx = jnp.sum(xc * xc, axis=-1)
+    feats = jnp.concatenate(
+        [jnp.ones((n, 1)), xc,
+         jnp.stack([xc[:, 0] * xc[:, 0], xc[:, 0] * xc[:, 1],
+                    xc[:, 0] * xc[:, 2], xc[:, 1] * xc[:, 1],
+                    xc[:, 1] * xc[:, 2], xc[:, 2] * xc[:, 2]], axis=-1),
+         xx[:, None]], axis=-1) * w_valid[:, None]        # (N, 11)
+
+    def per_chunk(q):
+        qx, qxx = q[:, :3], q[:, 3]
+        d2 = (qxx[:, None] - 2.0 * jnp.dot(
+            qx, xc.T, precision=jax.lax.Precision.HIGHEST) + xx[None, :])
+        w = jnp.exp(-d2 / (2.0 * sig2)) * w_valid[None, :]
+        mom = jnp.dot(w, feats, precision=jax.lax.Precision.HIGHEST)
+        wd2 = jnp.sum(w * d2, axis=-1)
+        return mom, wd2
+
+    q_all = jnp.concatenate([xc, xx[:, None]], axis=-1).reshape(
+        -1, chunk, 4)
+    mom, wd2 = jax.lax.map(per_chunk, q_all)
+    mom = mom.reshape(n, 11)
+    wd2 = wd2.reshape(n)
+
+    s = jnp.maximum(mom[:, 0], 1e-6)
+    mu = mom[:, 1:4] / s[:, None]
+    S6 = mom[:, 4:10] / s[:, None]
+    mumu = jnp.stack([mu[:, 0] * mu[:, 0], mu[:, 0] * mu[:, 1],
+                      mu[:, 0] * mu[:, 2], mu[:, 1] * mu[:, 1],
+                      mu[:, 1] * mu[:, 2], mu[:, 2] * mu[:, 2]], axis=-1)
+    cov = sym6_to_mat(S6 - mumu)
+
+    nrm = _smallest_eigvec_sym3(cov)
+    eye = jnp.eye(3)
+    reg = eye - (1.0 - 1e-3) * nrm[..., :, None] * nrm[..., None, :]
+    reg = jnp.where(valid[:, None, None], reg, eye)
+
+    # Density proxy: weighted mean squared neighbor distance, scaled so a
+    # uniform surface grid gives approximately the reference kNN statistic
+    # (mean of 15 neighbor sq-dists / 135 ~ h^2/9 for spacing h; the
+    # Gaussian-weighted mean sq-dist is ~2 sigma^2-limited, so calibrate by
+    # the ratio on the r=2h regime). The value feeds an LPF then hard
+    # clipping (odom.cc:1612-1621), so the approximation is benign.
+    mean_d2 = wd2 / jnp.maximum(mom[:, 0], 1e-6)
+    per_point = mean_d2 / 9.0
+    density = jnp.sum(per_point * w_valid) / cnt
+    return mat_to_sym6(reg), density
+
+
 # ---------------------------------------------------------------------------
 # Correspondences + linearization (nano_gicp.cc:206-302)
 # ---------------------------------------------------------------------------
@@ -188,7 +265,8 @@ class Correspondences(NamedTuple):
 def update_correspondences(src_xyz: Array, src_valid: Array, src_cov6: Array,
                            tgt_xyz: Array, tgt_cov6: Array, T: Array,
                            max_corr_dist: Array,
-                           target_grid=None, max_per_cell: int = 64
+                           target_grid=None, max_per_cell: int = 64,
+                           target_count: Array | None = None
                            ) -> Correspondences:
     """NN correspondences + Mahalanobis weights at transform T (4x4).
 
@@ -202,7 +280,7 @@ def update_correspondences(src_xyz: Array, src_valid: Array, src_cov6: Array,
         idx = jnp.where(jnp.isfinite(sqd), idx, 0)
         sqd = jnp.where(jnp.isfinite(sqd), sqd, 1e30)
     else:
-        idx, sqd = neighbors.nn1(transed, tgt_xyz)
+        idx, sqd = neighbors.nn1(transed, tgt_xyz, target_count)
     accept = src_valid & (sqd < max_corr_dist * max_corr_dist)
 
     R = T[:3, :3]
@@ -282,7 +360,8 @@ def gicp_align(src_xyz: Array, src_valid: Array, src_cov6: Array,
                tgt_xyz: Array, tgt_cov6: Array,
                cfg: GicpConfig, max_corr_dist: Array | float | None = None,
                guess: Array | None = None, target_grid=None,
-               max_per_cell: int = 64) -> AlignResult:
+               max_per_cell: int = 64,
+               target_count: Array | None = None) -> AlignResult:
     """Full GICP alignment: LM over SE(3) with per-iteration correspondence
     refresh, replicating NanoGICP::computeTransformation +
     LsqRegistration::computeTransformation/step_lm.
@@ -300,7 +379,8 @@ def gicp_align(src_xyz: Array, src_valid: Array, src_cov6: Array,
         corr = update_correspondences(src_xyz, src_valid, src_cov6,
                                       tgt_xyz, tgt_cov6, T, mcd,
                                       target_grid=target_grid,
-                                      max_per_cell=max_per_cell)
+                                      max_per_cell=max_per_cell,
+                                      target_count=target_count)
         H, b, y0 = linearize(src_xyz, tgt_xyz, corr, T)
         return corr, H, b, y0
 

@@ -66,8 +66,9 @@ def _pad_to_multiple(x: Array, chunk: int) -> Array:
     return x
 
 
-def nn1(query: Array, target: Array, *, query_chunk: int = 1024,
-        target_chunk: int = 8192) -> tuple[Array, Array]:
+def nn1(query: Array, target: Array, t_count: Array | None = None, *,
+        query_chunk: int = 1024, target_chunk: int = 8192
+        ) -> tuple[Array, Array]:
     """1-NN: for each query point, index + squared distance of the nearest
     target point. Replaces nanoflann nearestKSearch(pt, 1, ...) as used in
     GICP correspondence search (nano_gicp.cc:225-230).
@@ -80,13 +81,14 @@ def nn1(query: Array, target: Array, *, query_chunk: int = 1024,
             and target.shape[0] % 512 == 0):
         from noetic_slam_tpu.ops.pallas.nn_kernel import nn1_fused
 
-        return nn1_fused(query, target)
-    return _nn1_xla(query, target, query_chunk=query_chunk,
+        return nn1_fused(query, target, t_count)
+    return _nn1_xla(query, target, t_count, query_chunk=query_chunk,
                     target_chunk=target_chunk)
 
 
 @partial(jax.jit, static_argnames=("query_chunk", "target_chunk"))
-def _nn1_xla(query: Array, target: Array, *, query_chunk: int = 1024,
+def _nn1_xla(query: Array, target: Array, t_count: Array | None = None, *,
+             query_chunk: int = 1024,
              target_chunk: int = 8192) -> tuple[Array, Array]:
     nq = query.shape[0]
     c = _center(query, jnp.all(jnp.abs(query) < 1e5, axis=-1))
@@ -95,6 +97,10 @@ def _nn1_xla(query: Array, target: Array, *, query_chunk: int = 1024,
     qc_all = (qp - c).reshape(-1, query_chunk, 3)
     t_cent = tp - c
     n_tchunk = tp.shape[0] // target_chunk
+    if t_count is not None:
+        n_tchunk = jnp.minimum(
+            -(-jnp.asarray(t_count, jnp.int32) // target_chunk),
+            n_tchunk)
 
     def per_qchunk(qc):
         def body(i, carry):

@@ -29,12 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _nn_kernel(q_ref, t_ref, qq_ref, tt_ref, idx_ref, d_ref, *,
+def _nn_kernel(cnt_ref, q_ref, t_ref, qq_ref, tt_ref, idx_ref, d_ref, *,
                q_tile: int, t_tile: int):
     """Single invocation: double loop over (query tiles, target tiles); the
-    distance tile lives in registers/VMEM only."""
+    distance tile lives in registers/VMEM only. cnt_ref (SMEM) bounds the
+    target loop so padded capacity costs nothing."""
     nq = q_ref.shape[0]
     nt = t_ref.shape[0]
+    n_t_tiles = pl.cdiv(jnp.minimum(cnt_ref[0], nt), t_tile)
 
     def q_body(qi, _):
         q = q_ref[pl.ds(qi * q_tile, q_tile), :]          # (QT, 3)
@@ -57,7 +59,7 @@ def _nn_kernel(q_ref, t_ref, qq_ref, tt_ref, idx_ref, d_ref, *,
 
         init = (jnp.full((q_tile,), jnp.inf, jnp.float32),
                 jnp.zeros((q_tile,), jnp.int32))
-        best_d, best_i = jax.lax.fori_loop(0, nt // t_tile, t_body, init)
+        best_d, best_i = jax.lax.fori_loop(0, n_t_tiles, t_body, init)
         idx_ref[qi, :] = best_i
         d_ref[qi, :] = best_d
         return 0
@@ -66,12 +68,17 @@ def _nn_kernel(q_ref, t_ref, qq_ref, tt_ref, idx_ref, d_ref, *,
 
 
 @partial(jax.jit, static_argnames=("q_tile", "t_tile"))
-def nn1_fused(query: Array, target: Array, *, q_tile: int = 256,
-              t_tile: int = 512):
+def nn1_fused(query: Array, target: Array, t_count: Array | None = None,
+              *, q_tile: int = 256, t_tile: int = 512):
     """Fused 1-NN: (idx (Nq,) int32, sqd (Nq,) f32). Shapes must be
-    multiples of the tile sizes (callers use power-of-two capacities)."""
+    multiples of the tile sizes (callers use power-of-two capacities).
+    ``t_count``: number of meaningful target rows (compacted-front
+    convention); padding rows beyond it are never visited."""
     nq, nt = query.shape[0], target.shape[0]
     assert nq % q_tile == 0 and nt % t_tile == 0
+    if t_count is None:
+        t_count = jnp.int32(nt)
+    cnt = jnp.asarray(t_count, jnp.int32).reshape(1)
 
     # Recenter like ops.neighbors: conditioning for f32 world coordinates.
     w = jnp.all(jnp.abs(query) < 1e5, axis=-1)
@@ -85,6 +92,7 @@ def nn1_fused(query: Array, target: Array, *, q_tile: int = 256,
     idx, d = pl.pallas_call(
         partial(_nn_kernel, q_tile=q_tile, t_tile=t_tile),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -98,7 +106,7 @@ def nn1_fused(query: Array, target: Array, *, q_tile: int = 256,
             jax.ShapeDtypeStruct((nq // q_tile, q_tile), jnp.int32),
             jax.ShapeDtypeStruct((nq // q_tile, q_tile), jnp.float32),
         ],
-    )(qc, tc, qq, tt)
+    )(cnt, qc, tc, qq, tt)
     idx = idx.reshape(nq)
     d = d.reshape(nq)
 
