@@ -59,7 +59,18 @@ def cmd_slam(args) -> int:
     metrics = SlamMetrics()
 
     t0 = time.perf_counter()
-    if args.mulran:
+    if args.bag:
+        from noetic_slam_tpu.io.rosbag import replay_bag
+
+        def integrate(out):
+            pass  # SlamSystem.process_scan already integrates TSDF
+
+        stats = replay_bag(args.bag, slam, pointcloud_topic=args.pcl_topic,
+                           imu_topic=args.imu_topic,
+                           max_scans=args.max_scans)
+        print("bag replay:", stats)
+        gt = None
+    elif args.mulran:
         from noetic_slam_tpu.io.mulran import MulranDataset
 
         ds = MulranDataset.load(args.mulran)
@@ -167,6 +178,10 @@ def main(argv=None) -> int:
 
     ps = sub.add_parser("slam", help="run SLAM over a dataset")
     ps.add_argument("--mulran", help="MulRan sequence directory")
+    ps.add_argument("--bag", help="ROS1 bag file")
+    ps.add_argument("--pcl-topic", default=None,
+                    help="PointCloud2 topic (default: auto by type)")
+    ps.add_argument("--imu-topic", default=None)
     ps.add_argument("--synthetic", default=None,
                     help="simulate N seconds instead of a dataset")
     ps.add_argument("--out", default="out", help="output directory")
@@ -192,8 +207,10 @@ def main(argv=None) -> int:
     pi.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
-    if args.cmd == "slam" and not (args.mulran or args.synthetic):
-        p.error("slam requires --mulran DIR or --synthetic SECONDS")
+    if args.cmd == "slam" and not (args.mulran or args.synthetic
+                                   or args.bag):
+        p.error("slam requires --mulran DIR, --bag FILE or "
+                "--synthetic SECONDS")
     return args.fn(args)
 
 
