@@ -88,6 +88,25 @@ def main():
     ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
                              sim.gt_pos)
 
+    # TSDF fusion throughput (odometry output stream -> map), measured
+    # separately on the same scans.
+    import jax.numpy as jnp
+
+    from noetic_slam_tpu.models import tsdf as tsdf_mod
+
+    tcfg = cfg.tsdf
+    tstate = tsdf_mod.init_tsdf(tcfg)
+    pts = jnp.asarray(scans[0][1][: cap.max_points].astype("float32"))
+    tvalid = jnp.ones((pts.shape[0],), bool)
+    torigin = jnp.zeros(3)
+    tstate = tsdf_mod.integrate(tcfg, tstate, pts, tvalid, torigin)
+    jax.block_until_ready(tstate.tsdf)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        tstate = tsdf_mod.integrate(tcfg, tstate, pts, tvalid, torigin)
+    jax.block_until_ready(tstate.tsdf)
+    tsdf_per_sec = 20 / (time.perf_counter() - t0)
+
     result = {
         "metric": "odometry_scans_per_sec_1chip",
         "value": round(scans_per_sec, 3),
@@ -97,6 +116,7 @@ def main():
     print(json.dumps(result))
     print(f"# ate_rmse_m={ate:.4f} n_timed={n_timed} "
           f"keyframes={int(pipe.state.kf_count)} "
+          f"tsdf_integrations_per_sec={tsdf_per_sec:.1f} "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
 

@@ -669,3 +669,34 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
         return new_state, out
 
     return step
+
+
+def make_slam_step(cfg: DlioConfig, align_fn=None):
+    """Odometry + TSDF fusion as ONE jitted program.
+
+    Fusing matters beyond elegance: the runtime loads one executable per
+    scan (alternating two large executables through the device tunnel
+    thrashes program state), and the registered world cloud flows straight
+    into the TSDF scatter without leaving the device.
+
+    step((odom_state, tsdf_state), inp) -> ((odom_state, tsdf_state), out)
+    """
+    from noetic_slam_tpu.models import tsdf as tsdf_mod
+
+    odo = make_odometry_step(cfg, align_fn=align_fn)
+
+    def step(carry, inp: StepInput):
+        odom_state, tsdf_state = carry
+        odom_state, out = odo(odom_state, inp)
+
+        def fuse(ts):
+            return tsdf_mod._integrate_samples(
+                cfg.tsdf, ts,
+                *tsdf_mod._ray_samples(cfg.tsdf, out.world_xyz,
+                                       out.world_valid, out.lidar_p))
+
+        tsdf_state = jax.lax.cond(out.processed, fuse, lambda ts: ts,
+                                  tsdf_state)
+        return (odom_state, tsdf_state), out
+
+    return step

@@ -58,9 +58,18 @@ class TrajectoryEntry:
 
 class OdometryPipeline:
     def __init__(self, cfg: DlioConfig | None = None, jit: bool = True,
-                 align_fn=None):
+                 align_fn=None, with_tsdf: bool = False):
         self.cfg = cfg or DlioConfig()
-        self._step = make_odometry_step(self.cfg, align_fn=align_fn)
+        self.with_tsdf = with_tsdf
+        if with_tsdf:
+            from noetic_slam_tpu.models.odometry import make_slam_step
+            from noetic_slam_tpu.models.tsdf import init_tsdf
+
+            self._step = make_slam_step(self.cfg, align_fn=align_fn)
+            self.tsdf_state = init_tsdf(self.cfg.tsdf)
+        else:
+            self._step = make_odometry_step(self.cfg, align_fn=align_fn)
+            self.tsdf_state = None
         if jit:
             self._step = jax.jit(self._step, donate_argnums=(0,))
         self.state: Optional[OdomState] = None
@@ -202,7 +211,11 @@ class OdometryPipeline:
                            np.float32)
         inp = StepInput(points=jnp.asarray(points), imu=jnp.asarray(imu),
                         scalars=jnp.asarray(scalars))
-        self.state, out = self._step(self.state, inp)
+        if self.with_tsdf:
+            (self.state, self.tsdf_state), out = self._step(
+                (self.state, self.tsdf_state), inp)
+        else:
+            self.state, out = self._step(self.state, inp)
         self.prev_header = header_stamp
         self.headers.append(header_stamp)
         self.last_output = out

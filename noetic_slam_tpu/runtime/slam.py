@@ -35,9 +35,8 @@ class SlamSystem:
                  enable_loop_closure: bool = True, loop_radius: float = 3.0,
                  loop_min_gap: int = 10, max_edges: int = 4096):
         self.cfg = cfg or DlioConfig()
-        self.odometry = OdometryPipeline(self.cfg)
+        self.odometry = OdometryPipeline(self.cfg, with_tsdf=enable_tsdf)
         self.enable_tsdf = enable_tsdf
-        self.tsdf = tsdf_mod.init_tsdf(self.cfg.tsdf) if enable_tsdf else None
         self.enable_loop_closure = enable_loop_closure
         self.loop_radius = loop_radius
         self.loop_min_gap = loop_min_gap
@@ -49,14 +48,14 @@ class SlamSystem:
     def push_imu(self, stamp, ang, acc):
         self.odometry.push_imu(stamp, ang, acc)
 
+    @property
+    def tsdf(self):
+        return self.odometry.tsdf_state
+
     def process_scan(self, header_stamp, xyz, point_times=None):
-        out = self.odometry.process_scan(header_stamp, xyz, point_times)
-        if self.enable_tsdf and self.tsdf is not None:
-            origin = out.lidar_p
-            self.tsdf = tsdf_mod.integrate(
-                self.cfg.tsdf, self.tsdf, out.world_xyz, out.world_valid,
-                origin)
-        return out
+        # TSDF integration is fused into the same jitted program as the
+        # odometry step (models.odometry.make_slam_step).
+        return self.odometry.process_scan(header_stamp, xyz, point_times)
 
     # ------------------------------------------------------- loop closures
     def sync_graph(self) -> int:
