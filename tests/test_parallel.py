@@ -100,3 +100,40 @@ def test_batched_odometry_matches_sequential(rng, mesh8):
         bst, bout = bstep(bst, binp)
     got = np.asarray(bout.lidar_p)
     np.testing.assert_allclose(got, np.stack(seq_p), atol=1e-4)
+
+
+def test_sharded_tsdf_matches_single_device(rng, mesh8):
+    from noetic_slam_tpu.config.params import TsdfConfig
+    from noetic_slam_tpu.models import tsdf as T
+    from noetic_slam_tpu.parallel.tsdf import (gather_sharded_state,
+                                               init_sharded_tsdf,
+                                               make_sharded_integrate)
+
+    cfg = TsdfConfig(voxel_size=0.1, truncation=0.3, max_blocks=4096,
+                     space_carving=False, max_range=30.0)
+    pts = np.c_[np.full(2000, 5.0), rng.uniform(-2, 2, 2000),
+                rng.uniform(-2, 2, 2000)].astype(np.float32)
+    valid = jnp.ones((2000,), bool)
+    origin = jnp.zeros(3)
+
+    ref = T.init_tsdf(cfg)
+    for _ in range(2):
+        ref = T.integrate(cfg, ref, jnp.asarray(pts), valid, origin)
+
+    st = init_sharded_tsdf(cfg, mesh8)
+    integ = make_sharded_integrate(cfg, mesh8)
+    for _ in range(2):
+        st = integ(st, jnp.asarray(pts), valid, origin)
+    merged = gather_sharded_state(cfg, st, mesh8)
+
+    assert int(merged.num_blocks) == int(ref.num_blocks)
+
+    # compare per-voxel tsdf/weight via surface extraction on both
+    c1, d1, m1 = T.extract_surface(cfg, ref)
+    c2, d2, m2 = T.extract_surface(cfg, merged)
+    s1 = np.asarray(c1)[np.asarray(m1)]
+    s2 = np.asarray(c2)[np.asarray(m2)]
+    # same surface voxel set
+    set1 = {tuple(np.round(r, 4)) for r in s1}
+    set2 = {tuple(np.round(r, 4)) for r in s2}
+    assert set1 == set2
