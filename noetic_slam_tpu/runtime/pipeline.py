@@ -94,6 +94,7 @@ class OdometryPipeline:
         self.trajectory: List[TrajectoryEntry] = []
         self._flushed_scans = 0
         self.last_output = None             # StepOutput of last submit
+        self.imu_dropped = 0                # out-of-order samples rejected
 
     # ------------------------------------------------------------------ IMU
     def push_imu(self, stamp: float, ang_vel, lin_accel) -> None:
@@ -110,6 +111,13 @@ class OdometryPipeline:
                 return
             self._finish_calibration()
 
+        # Out-of-order/duplicate guard: the device window logic assumes a
+        # chronologically sorted buffer (the reference's circular buffer
+        # gets this for free from single-threaded callbacks). Late samples
+        # are dropped and counted.
+        if len(self._imu_stamps) and stamp <= self._imu_stamps[-1]:
+            self.imu_dropped += 1
+            return
         self._imu_stamps = np.append(self._imu_stamps, stamp)[-self._imu_max:]
         self._imu_ang = np.vstack([self._imu_ang, ang_vel])[-self._imu_max:]
         self._imu_acc = np.vstack([self._imu_acc, lin_accel])[-self._imu_max:]
