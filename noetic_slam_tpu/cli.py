@@ -163,6 +163,54 @@ def cmd_slam(args) -> int:
     return 0
 
 
+def cmd_live(args) -> int:
+    """Live Ouster sensor mode (os_driver + odometry in one process)."""
+    from noetic_slam_tpu.config.params import load_config
+    from noetic_slam_tpu.io.ouster import SensorInfo
+    from noetic_slam_tpu.runtime.live import LiveDriver
+    from noetic_slam_tpu.runtime.slam import SlamSystem
+
+    cfg = load_config(args.config)
+    info = SensorInfo.from_json(open(args.metadata).read())
+    slam = SlamSystem(cfg, enable_tsdf=not args.no_tsdf)
+    drv = LiveDriver(slam, info, lidar_port=args.lidar_port,
+                     imu_port=args.imu_port,
+                     timestamp_mode=args.timestamp_mode)
+    print(f"listening on udp {args.lidar_port}/{args.imu_port} "
+          f"({info.pixels_per_column}x{info.columns_per_frame})")
+    try:
+        drv.run(duration_s=args.duration)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        drv.close()
+    print(f"scans={drv.n_scans} imu={drv.n_imu} "
+          f"dropped={drv.source.lidar_dropped if drv.source else 0}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """ATE evaluation: TUM trajectory vs ground truth (TUM or MulRan
+    global_pose.csv)."""
+    import numpy as np
+
+    from noetic_slam_tpu.utils.synthetic import ate_rmse
+
+    traj = np.loadtxt(args.trajectory)      # stamp x y z qx qy qz qw
+    if args.gt.endswith(".csv"):
+        rows = np.loadtxt(args.gt, delimiter=",", ndmin=2)
+        gt_stamps = rows[:, 0] * 1e-9
+        gt_pos = rows[:, 1:].reshape(-1, 3, 4)[:, :, 3]
+    else:
+        gt = np.loadtxt(args.gt)
+        gt_stamps, gt_pos = gt[:, 0], gt[:, 1:4]
+    ate = ate_rmse(traj[:, 0], traj[:, 1:4], gt_stamps, gt_pos)
+    print(json.dumps({"ate_rmse_m": round(ate, 4),
+                      "n_poses": len(traj),
+                      "duration_s": round(traj[-1, 0] - traj[0, 0], 2)}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -205,6 +253,23 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="print config + devices")
     pi.add_argument("--config", default=None)
     pi.set_defaults(fn=cmd_info)
+
+    pl = sub.add_parser("live", help="live Ouster sensor SLAM")
+    pl.add_argument("--metadata", required=True,
+                    help="sensor metadata JSON file")
+    pl.add_argument("--lidar-port", type=int, default=7502)
+    pl.add_argument("--imu-port", type=int, default=7503)
+    pl.add_argument("--timestamp-mode", default="sensor",
+                    choices=["sensor", "host"])
+    pl.add_argument("--duration", type=float, default=None)
+    pl.add_argument("--config", default=None)
+    pl.add_argument("--no-tsdf", action="store_true")
+    pl.set_defaults(fn=cmd_live)
+
+    pe = sub.add_parser("eval", help="ATE: trajectory vs ground truth")
+    pe.add_argument("trajectory", help="TUM trajectory file")
+    pe.add_argument("gt", help="ground truth (TUM or MulRan global_pose.csv)")
+    pe.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
     if args.cmd == "slam" and not (args.mulran or args.synthetic
