@@ -39,6 +39,8 @@ class MulranDataset:
     scan_stamps: np.ndarray      # (S,) float64 seconds
     scan_files: list
     gps: Optional[np.ndarray]    # (G, 13) stamp + fields or None
+    radar_stamps: np.ndarray     # (R,) float64 seconds (polar images)
+    radar_files: list
     gt_stamps: Optional[np.ndarray]   # (T,) float64 seconds
     gt_poses: Optional[np.ndarray]    # (T, 3, 4) row-major world poses
 
@@ -78,6 +80,16 @@ class MulranDataset:
                     scan_files.append(os.path.join(ouster_dir, name))
                     scan_stamps.append(int(name[:-4]) * 1e-9)
 
+        # Radar polar images (published as-is by the reference player,
+        # ROSThread.cpp:561-597; listed here for export/analysis use)
+        radar_dir = os.path.join(sd, "radar", "polar")
+        radar_files, radar_stamps = [], []
+        if os.path.isdir(radar_dir):
+            for name in sorted(os.listdir(radar_dir)):
+                if name.endswith(".png"):
+                    radar_files.append(os.path.join(radar_dir, name))
+                    radar_stamps.append(int(name.split(".")[0]) * 1e-9)
+
         # GPS
         gps_path = os.path.join(sd, "gps.csv")
         gps = None
@@ -99,7 +111,8 @@ class MulranDataset:
 
         return cls(root, np.asarray(stamps), np.asarray(quat),
                    np.asarray(gyro), np.asarray(accel), version,
-                   np.asarray(scan_stamps), scan_files, gps, gt_stamps,
+                   np.asarray(scan_stamps), scan_files, gps,
+                   np.asarray(radar_stamps), radar_files, gt_stamps,
                    gt_poses)
 
     def read_scan(self, i: int) -> np.ndarray:

@@ -227,6 +227,10 @@ class OdometryPipeline:
         self.prev_header = header_stamp
         self.headers.append(header_stamp)
         self.last_output = out
+        # Guard the device trajectory ring: flush (one bulk readback) well
+        # before max_trajectory processed scans accumulate.
+        if len(self.headers) % (self.cfg.capacity.max_trajectory // 2) == 0:
+            self.flush()
         return out
 
     # ------------------------------------------------------------- results
