@@ -689,14 +689,15 @@ def make_slam_step(cfg: DlioConfig, align_fn=None):
         odom_state, tsdf_state = carry
         odom_state, out = odo(odom_state, inp)
 
-        def fuse(ts):
-            return tsdf_mod._integrate_samples(
-                cfg.tsdf, ts,
-                *tsdf_mod._ray_samples(cfg.tsdf, out.world_xyz,
-                                       out.world_valid, out.lidar_p))
-
-        tsdf_state = jax.lax.cond(out.processed, fuse, lambda ts: ts,
-                                  tsdf_state)
+        # Skipped scans are gated by zeroing sample weights instead of a
+        # lax.cond: a cond output cannot alias its input buffers, which
+        # would force XLA to copy the (hundreds of MB) TSDF payload every
+        # step; weight gating keeps the donated in-place scatter.
+        pos, sdf, w = tsdf_mod._ray_samples(
+            cfg.tsdf, out.world_xyz, out.world_valid, out.lidar_p)
+        w = w * out.processed.astype(w.dtype)
+        tsdf_state = tsdf_mod._integrate_samples(cfg.tsdf, tsdf_state,
+                                                 pos, sdf, w)
         return (odom_state, tsdf_state), out
 
     return step
