@@ -226,11 +226,15 @@ def detect_loop_candidate(kf_pos: Array, kf_count: Array, cur_idx: Array,
 
 def verify_loop(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov,
                 cfg: GicpConfig, max_corr_dist: float = 1.5,
-                max_error: float = 0.5):
+                max_error: float = 2.0):
     """GICP-verify a candidate: align the two keyframe clouds (both already
     in world frame) and accept if converged with low mean residual.
 
-    Returns (T_corr, accepted)."""
+    ``max_error`` bounds the mean Mahalanobis residual per correspondence;
+    with plane-regularized covariances a well-aligned pair of voxel-
+    downsampled scans sits around ~1 (residuals consistent with the
+    covariance model), so 2.0 accepts good alignments and rejects gross
+    mismatches. Returns (T_corr, accepted)."""
     res = gicp_ops.gicp_align(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov,
                               cfg, max_corr_dist=max_corr_dist)
     mean_err = res.error / jnp.maximum(res.num_corr.astype(jnp.float32), 1.0)

@@ -19,6 +19,19 @@ import numpy as np
 GRAVITY = 9.80665
 
 
+def loop_pose_of(t, period=20.0, radius=8.0):
+    """Closed-loop trajectory: circle of given period/radius with yaw
+    following the path — returns to the start, for loop-closure tests."""
+    t = float(t)
+    ang = 2 * np.pi * t / period
+    p = np.array([radius * np.sin(ang), radius * (1 - np.cos(ang)),
+                  0.02 * np.sin(0.7 * t)])
+    yaw = ang
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz, p
+
+
 @dataclasses.dataclass
 class Sim:
     world: np.ndarray            # (W, 3) surface points
@@ -34,10 +47,12 @@ class Sim:
     sweep_time: float
     n_points: int
     max_range: float
+    pose_fn: object = None
 
     def pose(self, t):
         """Ground-truth pose at time t: (R (3,3), p (3,))."""
-        return _pose_of(np.asarray(t))
+        fn = self.pose_fn or _pose_of
+        return fn(np.asarray(t))
 
     def scan(self, i: int):
         """Generate sweep i: (header_stamp, xyz (N,3) sensor frame,
@@ -50,13 +65,14 @@ class Sim:
         pt = np.sort(self.rng.integers(0, cols, self.n_points)
                      * (self.sweep_time / cols))
         # sample world points within range of the mid-sweep position
-        R_mid, p_mid = _pose_of(t0 + 0.5 * self.sweep_time)
+        fn = self.pose_fn or _pose_of
+        R_mid, p_mid = fn(t0 + 0.5 * self.sweep_time)
         d = np.linalg.norm(self.world - p_mid, axis=-1)
         cand = np.flatnonzero(d < self.max_range)
         pick = self.world[self.rng.choice(cand, self.n_points)]
         xyz = np.empty((self.n_points, 3), np.float32)
         for k in range(self.n_points):
-            R, p = _pose_of(t0 + pt[k])
+            R, p = fn(t0 + pt[k])
             xyz[k] = R.T @ (pick[k] - p)
         return t0, xyz, pt.astype(np.float64)
 
@@ -77,11 +93,12 @@ def _pose_of(t):
     return Rz @ Ry, p
 
 
-def _numeric_imu(t, dt=1e-4):
+def _numeric_imu(t, dt=1e-4, pose_fn=None):
     """Body rates + specific force by numeric differentiation of the pose."""
-    R0, p0 = _pose_of(t - dt)
-    R1, p1 = _pose_of(t)
-    R2, p2 = _pose_of(t + dt)
+    fn = pose_fn or _pose_of
+    R0, p0 = fn(t - dt)
+    R1, p1 = fn(t)
+    R2, p2 = fn(t + dt)
     # angular velocity: vee(R^T dR/dt)
     dR = (R2 - R0) / (2 * dt)
     W = R1.T @ dR
@@ -125,29 +142,36 @@ def make_world(rng, extent=30.0, n=20000) -> np.ndarray:
 
 
 def make_sim(duration=3.0, imu_hz=100.0, scan_hz=10.0, n_points=2048,
-             max_range=45.0, calib_time=0.0, seed=0) -> Sim:
+             max_range=45.0, calib_time=0.0, seed=0, pose_fn=None,
+             imu_noise=0.0) -> Sim:
     """Build a simulation. ``calib_time`` seconds of stationary IMU samples
-    (pure gravity) are prepended for the static calibration procedure."""
+    (pure gravity) are prepended for the static calibration procedure.
+    ``pose_fn`` overrides the trajectory (e.g. ``loop_pose_of``);
+    ``imu_noise`` adds white noise to gyro/accel (drift injection)."""
     rng = np.random.default_rng(seed)
     world = make_world(rng)
+    fn = pose_fn or _pose_of
 
     imu_t = np.arange(-calib_time, duration + 0.2, 1.0 / imu_hz)
     ang = np.zeros((len(imu_t), 3))
     acc = np.zeros((len(imu_t), 3))
-    R0, _ = _pose_of(0.0)
+    R0, _ = fn(0.0)
     for i, t in enumerate(imu_t):
         if t < 0:
             ang[i] = 0.0
             acc[i] = R0.T @ np.array([0.0, 0.0, GRAVITY])
         else:
-            ang[i], acc[i] = _numeric_imu(max(t, 1e-3))
+            ang[i], acc[i] = _numeric_imu(max(t, 1e-3), pose_fn=fn)
+            if imu_noise > 0:
+                ang[i] += rng.normal(scale=imu_noise, size=3)
+                acc[i] += rng.normal(scale=imu_noise * 10, size=3)
 
     scan_t = np.arange(0.0, duration, 1.0 / scan_hz)
     gt_t = np.arange(0.0, duration + 0.1, 0.01)
-    gt_pos = np.stack([_pose_of(t)[1] for t in gt_t])
-    gt_quat = np.stack([_mat_to_quat(_pose_of(t)[0]) for t in gt_t])
+    gt_pos = np.stack([fn(t)[1] for t in gt_t])
+    gt_quat = np.stack([_mat_to_quat(fn(t)[0]) for t in gt_t])
     return Sim(world, imu_t, ang, acc, scan_t, gt_t, gt_pos, gt_quat,
-               duration, rng, 1.0 / scan_hz, n_points, max_range)
+               duration, rng, 1.0 / scan_hz, n_points, max_range, fn)
 
 
 def _mat_to_quat(R):

@@ -91,3 +91,45 @@ def test_loop_closure_corrects_drift():
         assert slam.loop_closures == 1
         st = slam.odometry.state
         assert bool(jnp.all(jnp.isfinite(st.kf_pos)))
+
+
+@pytest.mark.slow
+def test_loop_closure_on_closed_trajectory():
+    """Drive a full circle (20 s, back to start); a loop closure must fire
+    near the end and the graph must hold a loop edge (node count + 1 - 1)."""
+    from noetic_slam_tpu.utils.synthetic import loop_pose_of
+
+    sim = synthetic.make_sim(duration=20.0, n_points=2048, calib_time=3.1,
+                             seed=13, pose_fn=loop_pose_of)
+    # 1 m keyframing: the 50 m loop yields ~50 keyframes (fits capacity 64)
+    cfg = sys_cfg().replace(
+        capacity=CapacityConfig(
+            max_points=4096, max_ds_points=2048, max_deskew_frames=1024,
+            max_imu_window=64, max_keyframes=64, max_submap_kf=8),
+        keyframe=KeyframeConfig(thresh_dist=1.0, thresh_rot=45.0))
+    slam = SlamSystem(cfg, enable_tsdf=False, enable_loop_closure=True,
+                      loop_radius=4.0, loop_min_gap=15)
+    imu_i = 0
+    for s in range(len(sim.scan_stamps)):
+        header, xyz, pt = sim.scan(s)
+        sweep_end = header + pt.max()
+        while (imu_i < len(sim.imu_stamps)
+               and sim.imu_stamps[imu_i] <= sweep_end + 0.02):
+            slam.push_imu(sim.imu_stamps[imu_i], sim.imu_ang[imu_i],
+                          sim.imu_acc[imu_i])
+            imu_i += 1
+        slam.process_scan(header, xyz, pt)
+        if s % 10 == 0 and s > 0:
+            slam.maybe_close_loop()
+    slam.maybe_close_loop()
+
+    assert slam.loop_closures >= 1, "no loop closure fired on a closed loop"
+    # loop edge(s) beyond the odometry chain
+    assert int(slam.graph.n_edges) >= slam._graph_nodes
+
+    traj = slam.flush()
+    ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
+                             sim.gt_pos)
+    assert ate < 0.15, ate
+    # end-of-loop consistency: last pose near the start (gt returns there)
+    assert np.all(np.isfinite(np.asarray(slam.odometry.state.kf_pos)))
