@@ -17,9 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
 # precision even for the "cpu" platform. Tests must run on the local CPU
 # backend only.
 if os.environ.get("_AXON_REGISTERED"):
+    import jax
     import jax._src.xla_bridge as _xb
 
     _xb._backend_factories.pop("axon", None)
+    # axon.register imports jax at interpreter start, so jax captured
+    # JAX_PLATFORMS from the pre-conftest environment ("axon,cpu"); the
+    # os.environ write above is then too late. Force the config directly.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
