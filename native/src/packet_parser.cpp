@@ -88,6 +88,13 @@ int nst_parse_lidar_packets(const uint8_t* buf, int n_packets,
                 const uint8_t* px = px0 + u * g.chan;
                 const size_t oi =
                     static_cast<size_t>(u) * total_cols + oc;
+                if (chan == 4) {          // RNG15_RFL8_NIR8 low bandwidth
+                    range[oi] = (rd<uint16_t>(px) & 0x7FFFu) << 3;
+                    reflectivity[oi] = px[2];
+                    signal[oi] = 0;
+                    near_ir[oi] = static_cast<uint16_t>(px[3]) << 4;
+                    continue;
+                }
                 range[oi] = rd<uint32_t>(px) & range_mask;
                 if (legacy) {
                     reflectivity[oi] = rd<uint16_t>(px + 4);
@@ -97,10 +104,10 @@ int nst_parse_lidar_packets(const uint8_t* buf, int n_packets,
                     reflectivity[oi] = px[4];
                     signal[oi] = rd<uint16_t>(px + 6);
                     near_ir[oi] = rd<uint16_t>(px + 8);
-                } else {                  // RNG19 dual return (16 B)
-                    reflectivity[oi] = px[3];
-                    signal[oi] = rd<uint16_t>(px + 8);
-                    near_ir[oi] = rd<uint16_t>(px + 12);
+                } else {                  // RNG19 dual (16 B) and
+                    reflectivity[oi] = px[3];   // FIVE_WORD_PIXEL (20 B):
+                    signal[oi] = rd<uint16_t>(px + 8);   // same first-return
+                    near_ir[oi] = rd<uint16_t>(px + 12); // word layout
                 }
             }
         }

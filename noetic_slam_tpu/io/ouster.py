@@ -8,9 +8,10 @@ optional C++ fast path (native/ouster_ingest.cpp via ctypes):
   src/types.cpp) — beam angles, transforms, pixel shifts, udp profile.
 - ``PacketFormat``: packet geometry per UDP profile (parsing.cpp:134-170:
   LEGACY 16-byte col headers + 4-byte footers; eUDP 32-byte packet
-  header/footer + 12-byte col headers) and field extraction for the LEGACY
-  and RNG19_RFL8_SIG16_NIR16 single/dual-return profiles
-  (parsing.cpp:43-117 field tables).
+  header/footer + 12-byte col headers) and field-table-driven extraction
+  for all five profiles: LEGACY, RNG19_RFL8_SIG16_NIR16 single/dual,
+  RNG15_RFL8_NIR8 (low bandwidth), FIVE_WORD_PIXEL
+  (parsing.cpp:43-117 field tables), incl. second-return extraction.
 - ``ScanBatcher``: packet -> frame accumulation with frame-id rollover and
   missing-column zeroing (lidar_scan.cpp:540-678).
 - ``make_xyz_lut`` / ``cartesian``: range image -> XYZ projection
@@ -37,8 +38,55 @@ STANDARD_G = 9.80665
 PROFILE_LEGACY = "LEGACY"
 PROFILE_SINGLE = "RNG19_RFL8_SIG16_NIR16"
 PROFILE_DUAL = "RNG19_RFL8_SIG16_NIR16_DUAL"
+PROFILE_LOW_BANDWIDTH = "RNG15_RFL8_NIR8"
+PROFILE_FIVE_WORD = "FIVE_WORD_PIXEL"
 
-_CHAN_DATA_SIZE = {PROFILE_LEGACY: 12, PROFILE_SINGLE: 12, PROFILE_DUAL: 16}
+_CHAN_DATA_SIZE = {PROFILE_LEGACY: 12, PROFILE_SINGLE: 12, PROFILE_DUAL: 16,
+                   PROFILE_LOW_BANDWIDTH: 4, PROFILE_FIVE_WORD: 20}
+
+# Per-profile channel field tables: name -> (dtype, byte offset, mask, shift).
+# Mirrors parsing.cpp:43-117 (legacy/lb/dual/single/five_word_pixel_info);
+# mask==0 means full word; shift>0 right-shifts, shift<0 left-shifts
+# (parsing.cpp FieldInfo semantics).
+_FIELD_TABLES = {
+    PROFILE_LEGACY: {
+        "range": (np.uint32, 0, 0x000FFFFF, 0),
+        "reflectivity": (np.uint16, 4, 0, 0),
+        "signal": (np.uint16, 6, 0, 0),
+        "near_ir": (np.uint16, 8, 0, 0),
+    },
+    PROFILE_SINGLE: {
+        "range": (np.uint32, 0, 0x0007FFFF, 0),
+        "reflectivity": (np.uint8, 4, 0, 0),
+        "signal": (np.uint16, 6, 0, 0),
+        "near_ir": (np.uint16, 8, 0, 0),
+    },
+    PROFILE_DUAL: {
+        "range": (np.uint32, 0, 0x0007FFFF, 0),
+        "reflectivity": (np.uint8, 3, 0, 0),
+        "range2": (np.uint32, 4, 0x0007FFFF, 0),
+        "reflectivity2": (np.uint8, 7, 0, 0),
+        "signal": (np.uint16, 8, 0, 0),
+        "signal2": (np.uint16, 10, 0, 0),
+        "near_ir": (np.uint16, 12, 0, 0),
+    },
+    # Low-bandwidth: 15-bit range in 8 mm units (<<3 restores mm), 8-bit
+    # reflectivity, 8-bit near_ir in 16-count units (<<4); no signal.
+    PROFILE_LOW_BANDWIDTH: {
+        "range": (np.uint16, 0, 0x7FFF, -3),
+        "reflectivity": (np.uint8, 2, 0, 0),
+        "near_ir": (np.uint8, 3, 0, -4),
+    },
+    PROFILE_FIVE_WORD: {
+        "range": (np.uint32, 0, 0x0007FFFF, 0),
+        "reflectivity": (np.uint8, 3, 0, 0),
+        "range2": (np.uint32, 4, 0x0007FFFF, 0),
+        "reflectivity2": (np.uint8, 7, 0, 0),
+        "signal": (np.uint16, 8, 0, 0),
+        "signal2": (np.uint16, 10, 0, 0),
+        "near_ir": (np.uint16, 12, 0, 0),
+    },
+}
 
 _MODE_FPS = {"512x10": 10, "512x20": 20, "1024x10": 10, "1024x20": 20,
              "2048x10": 10, "4096x5": 5}
@@ -118,6 +166,8 @@ class PacketFormat:
         self.h = info.pixels_per_column
         self.cols = info.columns_per_packet
         self.chan = _CHAN_DATA_SIZE[profile]
+        self.fields = _FIELD_TABLES[profile]
+        self.dual_return = "range2" in self.fields
         self.packet_header_size = 0 if legacy else 32
         self.col_header_size = 16 if legacy else 12
         self.col_footer_size = 4 if legacy else 0
@@ -129,10 +179,36 @@ class PacketFormat:
                                   + self.packet_footer_size)
         self.imu_packet_size = 48
 
-    def parse_lidar_packet(self, buf: bytes):
+    def _field(self, px: np.ndarray, name: str) -> np.ndarray:
+        """Extract one channel field as (C, H) uint32 via the profile's
+        field table (parsing.cpp FieldInfo: mask then shift)."""
+        spec = self.fields.get(name)
+        if spec is None:
+            return np.zeros(px.shape[:2], np.uint32)
+        dtype, off, mask, shift = spec
+        width = np.dtype(dtype).itemsize
+        raw = px[:, :, off:off + width]
+        if width == 1:
+            val = raw[:, :, 0].astype(np.uint32)
+        else:
+            val = np.ascontiguousarray(raw).view(dtype)[:, :, 0].astype(
+                np.uint32)
+        if mask:
+            val = val & np.uint32(mask)
+        if shift > 0:
+            val = val >> shift
+        elif shift < 0:
+            val = val << (-shift)
+        return val
+
+    def parse_lidar_packet(self, buf: bytes, return_idx: int = 0):
         """One packet -> (timestamps (C,), m_ids (C,), status (C,),
         range (H, C) uint32, signal (H, C), reflectivity (H, C),
-        near_ir (H, C))."""
+        near_ir (H, C)).
+
+        ``return_idx=1`` selects the second return on dual-return profiles
+        (RANGE2/SIGNAL2/REFLECTIVITY2 columns of the field table,
+        point_cloud_processor.h:62-74's per-return clouds)."""
         a = np.frombuffer(buf, np.uint8, count=self.lidar_packet_size)
         cols = a[self.packet_header_size:
                  self.packet_header_size + self.cols * self.col_size]
@@ -149,23 +225,20 @@ class PacketFormat:
         px = cols[:, self.col_header_size: self.col_header_size
                   + self.h * self.chan]
         px = px.reshape(self.cols, self.h, self.chan)
-        word0 = px[:, :, 0:4].copy().view(np.uint32)[:, :, 0]
-        if self.legacy:
-            rng = word0 & 0x000FFFFF
-            refl = px[:, :, 4:6].copy().view(np.uint16)[:, :, 0]
-            sig = px[:, :, 6:8].copy().view(np.uint16)[:, :, 0]
-            nir = px[:, :, 8:10].copy().view(np.uint16)[:, :, 0]
+        if return_idx == 1:
+            if "range2" not in self.fields:
+                raise ValueError(
+                    f"profile {self.info.udp_profile_lidar} has one return")
+            rng = self._field(px, "range2")
+            sig = self._field(px, "signal2")
+            refl = self._field(px, "reflectivity2")
         else:
-            rng = word0 & 0x0007FFFF
-            refl = px[:, :, 4].astype(np.uint16) if self.chan == 12 else \
-                px[:, :, 3].astype(np.uint16)
-            sig = px[:, :, 6:8].copy().view(np.uint16)[:, :, 0] \
-                if self.chan == 12 else \
-                px[:, :, 8:10].copy().view(np.uint16)[:, :, 0]
-            nir = px[:, :, 8:10].copy().view(np.uint16)[:, :, 0] \
-                if self.chan == 12 else \
-                px[:, :, 12:14].copy().view(np.uint16)[:, :, 0]
-        return (ts, m_id, status, rng.T, sig.T, refl.T, nir.T)
+            rng = self._field(px, "range")
+            sig = self._field(px, "signal")
+            refl = self._field(px, "reflectivity")
+        nir = self._field(px, "near_ir")
+        return (ts, m_id, status, rng.T, sig.T.astype(np.uint16),
+                refl.T.astype(np.uint16), nir.T.astype(np.uint16))
 
     def parse_imu_packet(self, buf: bytes):
         """-> (sys_ts_ns, accel (3,) m/s^2, gyro (3,) rad/s)

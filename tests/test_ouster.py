@@ -148,3 +148,116 @@ def test_scan_to_points_relative_times():
     assert valid.all()
     np.testing.assert_allclose(rel_t.reshape(4, 32)[0],
                                np.arange(32) * 1e-3, atol=1e-9)
+
+
+def _build_packet_fields(pf: ou.PacketFormat, frame_id, m_ids, ts, fields):
+    """Synthesize one eUDP packet for ANY non-legacy profile by inverting
+    the field table: fields is {name: (H, C) uint array}."""
+    assert not pf.legacy
+    buf = bytearray(pf.lidar_packet_size)
+    buf[2:4] = int(frame_id).to_bytes(2, "little")
+    for c in range(pf.cols):
+        base = pf.packet_header_size + c * pf.col_size
+        buf[base:base + 8] = int(ts[c]).to_bytes(8, "little")
+        buf[base + 8:base + 10] = int(m_ids[c]).to_bytes(2, "little")
+        buf[base + 10:base + 12] = (1).to_bytes(2, "little")  # status valid
+        for u in range(pf.h):
+            px = base + pf.col_header_size + u * pf.chan
+            for name, (dtype, off, mask, shift) in pf.fields.items():
+                if name not in fields:
+                    continue
+                val = int(fields[name][u, c])
+                if shift > 0:
+                    val <<= shift
+                elif shift < 0:
+                    val >>= -shift
+                if mask:
+                    val &= mask
+                width = np.dtype(dtype).itemsize
+                cur = int.from_bytes(buf[px + off:px + off + width], "little")
+                buf[px + off:px + off + width] = (cur | val).to_bytes(
+                    width, "little")
+    return bytes(buf)
+
+
+@pytest.mark.parametrize("profile", [
+    ou.PROFILE_SINGLE, ou.PROFILE_DUAL, ou.PROFILE_LOW_BANDWIDTH,
+    ou.PROFILE_FIVE_WORD])
+def test_profile_field_extraction(profile):
+    """Every UDP profile round-trips through its field table, including the
+    low-bandwidth shifted encodings (range in 8 mm units, nir in 16-count
+    units — parsing.cpp lb_field_info) and dual second returns."""
+    info = _simple_info(h=4, profile=profile)
+    pf = ou.PacketFormat(info)
+    rng = np.random.default_rng(3)
+    C = pf.cols
+    # Values chosen representable in every encoding: range multiple of 8 mm
+    # below 2^15*8, nir multiple of 16 below 2^12, refl < 2^8.
+    fields = {
+        "range": rng.integers(1, 4000, (pf.h, C)) * 8,
+        "reflectivity": rng.integers(0, 255, (pf.h, C)),
+        "near_ir": rng.integers(0, 255, (pf.h, C)) * 16,
+        "signal": rng.integers(0, 60000, (pf.h, C)),
+        "range2": rng.integers(1, 4000, (pf.h, C)) * 8,
+        "reflectivity2": rng.integers(0, 255, (pf.h, C)),
+        "signal2": rng.integers(0, 60000, (pf.h, C)),
+    }
+    m_ids = np.arange(C)
+    ts = 1_000 + m_ids * 10
+    buf = _build_packet_fields(pf, 7, m_ids, ts, fields)
+
+    pts, m, st, r, sig, refl, nir = pf.parse_lidar_packet(buf)
+    assert st.all() and (m == m_ids).all() and (pts == ts).all()
+    np.testing.assert_array_equal(r, fields["range"])
+    np.testing.assert_array_equal(refl, fields["reflectivity"])
+    np.testing.assert_array_equal(nir, fields["near_ir"])
+    if "signal" in pf.fields:
+        np.testing.assert_array_equal(sig, fields["signal"])
+    else:
+        assert (sig == 0).all()
+
+    if pf.dual_return:
+        _, _, _, r2, sig2, refl2, _ = pf.parse_lidar_packet(buf, return_idx=1)
+        np.testing.assert_array_equal(r2, fields["range2"])
+        np.testing.assert_array_equal(refl2, fields["reflectivity2"])
+        np.testing.assert_array_equal(sig2, fields["signal2"])
+    else:
+        with pytest.raises(ValueError):
+            pf.parse_lidar_packet(buf, return_idx=1)
+
+
+@pytest.mark.parametrize("profile", [
+    ou.PROFILE_SINGLE, ou.PROFILE_DUAL, ou.PROFILE_LOW_BANDWIDTH,
+    ou.PROFILE_FIVE_WORD])
+def test_native_parser_all_profiles(profile):
+    """The C++ batch parser agrees with the Python field-table parser on
+    every profile's first return."""
+    from noetic_slam_tpu.runtime import native
+
+    if native.load() is None:
+        pytest.skip("native lib unavailable")
+    info = _simple_info(h=4, profile=profile)
+    pf = ou.PacketFormat(info)
+    rng = np.random.default_rng(5)
+    C = pf.cols
+    pkts = []
+    for p in range(3):
+        fields = {
+            "range": rng.integers(1, 4000, (pf.h, C)) * 8,
+            "reflectivity": rng.integers(0, 255, (pf.h, C)),
+            "near_ir": rng.integers(0, 255, (pf.h, C)) * 16,
+            "signal": rng.integers(0, 60000, (pf.h, C)),
+        }
+        m_ids = np.arange(p * C, p * C + C)
+        ts = 1_000 + m_ids * 10
+        pkts.append((_build_packet_fields(pf, 7, m_ids, ts, fields), fields))
+
+    out = native.parse_lidar_packets(b"".join(b for b, _ in pkts), 3, pf)
+    for p, (buf, fields) in enumerate(pkts):
+        sl = slice(p * C, p * C + C)
+        _, _, _, r, sig, refl, nir = pf.parse_lidar_packet(buf)
+        np.testing.assert_array_equal(out["range"][:, sl], r)
+        np.testing.assert_array_equal(out["signal"][:, sl], sig)
+        np.testing.assert_array_equal(out["reflectivity"][:, sl], refl)
+        np.testing.assert_array_equal(out["near_ir"][:, sl], nir)
+        assert (out["frame_id"][sl] == 7).all()
