@@ -377,23 +377,95 @@ def destagger(img: np.ndarray, pixel_shift_by_row: np.ndarray,
 
 
 def scan_to_points(scan: LidarScan, direction: np.ndarray,
-                   offset: np.ndarray):
+                   offset: np.ndarray, scan_ts_ns: Optional[int] = None,
+                   ts_offset_ns: int = 0):
     """LidarScan -> (xyz (H*W, 3) f32, rel_t (H*W,) f32 seconds, valid).
 
-    Sensor-time strategy: scan stamp = earliest valid column timestamp;
+    Sensor-time strategy: scan stamp = earliest valid column timestamp
+    (or an explicit ``scan_ts_ns``, e.g. from a ScanTimestamper);
     per-point time = column ts - scan stamp (os_ros.cpp:117-229 relative
-    timestamps). Returns (xyz, rel_t, valid, scan_stamp_ns)."""
+    timestamps). ``ts_offset_ns`` applies the PTP TAI offset to column
+    timestamps first. Returns (xyz, rel_t, valid, scan_stamp_ns)."""
     h, w = scan.range.shape
     valid_col = scan.status.astype(bool)
     ts = scan.timestamp
-    scan_ts = ts[valid_col].min() if valid_col.any() else np.uint64(0)
-    rel = np.where(valid_col, (ts - scan_ts).astype(np.int64), 0) * 1e-9
+    if ts_offset_ns:
+        ts = ts_safe_offset_add(ts, ts_offset_ns)
+    if scan_ts_ns is not None:
+        scan_ts = np.uint64(scan_ts_ns)
+    else:
+        scan_ts = ts[valid_col].min() if valid_col.any() else np.uint64(0)
+    rel = np.where(valid_col,
+                   ts.astype(np.int64) - np.int64(scan_ts), 0) * 1e-9
     xyz = cartesian(scan.range, direction, offset).astype(np.float32)
     rel_t = np.broadcast_to(rel[None, :], (h, w)).reshape(-1).astype(
         np.float32)
     valid = ((scan.range.reshape(-1) > 0)
              & np.broadcast_to(valid_col[None, :], (h, w)).reshape(-1))
     return xyz, rel_t, valid, int(scan_ts)
+
+
+def scan_col_ts_spacing_ns(info: SensorInfo) -> float:
+    """Nominal inter-column timestamp spacing
+    (lidar_packet_handler.h:284-289)."""
+    return 1e9 / (info.columns_per_frame * info.fps)
+
+
+def ts_safe_offset_add(ts, offset_ns: int):
+    """Clamped ns offset add (os_ros.h:214-216): negative offsets saturate
+    at 0 instead of wrapping the unsigned timestamp. Vectorized."""
+    ts = np.asarray(ts, np.uint64)
+    if offset_ns >= 0:
+        return ts + np.uint64(offset_ns)
+    mag = np.uint64(-offset_ns)
+    return np.where(ts < mag, np.uint64(0), ts - mag)
+
+
+class ScanTimestamper:
+    """Scan-timestamp estimation across frame gaps
+    (lidar_packet_handler.h:158-227 compute_scan_ts_0/_n).
+
+    Missing leading columns (dropped packets) leave zero timestamps; the
+    scan stamp is then extrapolated back to column 0 using the nominal
+    column spacing (first scan) or linearly interpolated between the last
+    valid column of the previous scan and the first valid column of this
+    one (subsequent scans).
+
+    ``ptp_utc_tai_offset_ns`` implements TIME_FROM_PTP_1588: the offset is
+    applied to every column timestamp before estimation
+    (lidar_packet_handler.h:253-264), clamped at zero like the reference.
+    """
+
+    def __init__(self, info: SensorInfo, ptp_utc_tai_offset_ns: int = 0):
+        self.spacing = scan_col_ts_spacing_ns(info)
+        self.offset = int(ptp_utc_tai_offset_ns)
+        self._last_idx = -1
+        self._last_val = 0
+        self._first = True
+
+    def __call__(self, timestamps: np.ndarray) -> int:
+        ts_v = np.asarray(timestamps, np.uint64)
+        if self.offset:
+            ts_v = ts_safe_offset_add(ts_v, self.offset)
+        nz = np.flatnonzero(ts_v)
+        if len(nz) == 0:
+            return 0
+        i0, v0 = int(nz[0]), int(ts_v[nz[0]])
+        w = len(ts_v)
+        if i0 == 0:
+            scan_ns = v0
+        elif self._first:
+            scan_ns = int(round(v0 - self.spacing * i0))
+        else:
+            # linear_interpolate between (last_idx of prev scan, last_val)
+            # and (w + i0, v0) evaluated at column w (= this scan's col 0)
+            x0, y0 = self._last_idx, self._last_val
+            x1, y1 = w + i0, v0
+            scan_ns = int(round(y0 + (y1 - y0) * (w - x0) / (x1 - x0)))
+        self._last_idx = int(nz[-1])
+        self._last_val = int(ts_v[nz[-1]])
+        self._first = False
+        return scan_ns
 
 
 def scan_images(scan: LidarScan, info: SensorInfo) -> dict:

@@ -9,10 +9,16 @@ ScanBatcher; completed frames project through the XYZ LUT and go straight
 into the SLAM system — no serialization boundary.
 
 Timestamp strategies (lidar_packet_handler.h:85-311):
-- "sensor": scan stamp = first valid column timestamp (sensor clock).
-- "host":   scan stamp = host receive time of frame completion (the
-  TIME_FROM_ROS_TIME analog); per-point times stay relative to the sensor
-  column clock either way.
+- "sensor": scan stamp estimated from column timestamps with gap
+  imputation/extrapolation (compute_scan_ts_0/_n via io.ouster.
+  ScanTimestamper).
+- "ptp":    TIME_FROM_PTP_1588 — sensor strategy after adding
+  ptp_utc_tai_offset to every column/IMU timestamp (clamped at 0,
+  lidar_packet_handler.h:253-264, imu_packet_handler.h:36-41).
+- "host":   scan stamp = host receive time of the frame's first packet,
+  extrapolated back to column 0 (TIME_FROM_ROS_TIME,
+  lidar_packet_handler.h:234-282); per-point times stay relative to the
+  sensor column clock either way.
 
 Failure handling mirrors the driver's poll-error accounting
 (os_sensor_nodelet.cpp:458-469): consecutive read timeouts beyond a limit
@@ -33,13 +39,21 @@ from noetic_slam_tpu.runtime import native
 class LiveDriver:
     def __init__(self, slam, info: ou.SensorInfo, lidar_port: int = 7502,
                  imu_port: int = 7503, timestamp_mode: str = "sensor",
+                 ptp_utc_tai_offset_s: float = -37.0,
                  max_read_errors: int = 60):
+        if timestamp_mode not in ("sensor", "ptp", "host"):
+            raise ValueError(f"unknown timestamp_mode {timestamp_mode!r}")
         self.slam = slam
         self.info = info
         self.pf = ou.PacketFormat(info)
         self.batcher = ou.ScanBatcher(info)
         self.direction, self.offset = ou.make_xyz_lut(info)
         self.timestamp_mode = timestamp_mode
+        self.ptp_offset_ns = (int(ptp_utc_tai_offset_s * 1e9)
+                              if timestamp_mode == "ptp" else 0)
+        self.timestamper = ou.ScanTimestamper(info, self.ptp_offset_ns)
+        self._col_spacing_ns = ou.scan_col_ts_spacing_ns(info)
+        self._host_frame_ts: Optional[float] = None
         self.max_read_errors = max_read_errors
         self.source = native.UdpSource(lidar_port, imu_port,
                                        self.pf.lidar_packet_size,
@@ -55,8 +69,11 @@ class LiveDriver:
         imu_buf = self.source.read_imu(timeout_ms=0)
         while imu_buf is not None:
             ts_ns, accel, gyro = self.pf.parse_imu_packet(imu_buf)
-            stamp = (ts_ns * 1e-9 if self.timestamp_mode == "sensor"
-                     else time.time())
+            if self.timestamp_mode == "host":
+                stamp = time.time()
+            else:  # sensor / ptp (imu_packet_handler.h:36-41)
+                stamp = int(ou.ts_safe_offset_add(
+                    np.uint64(ts_ns), self.ptp_offset_ns)) * 1e-9
             self.slam.push_imu(stamp, gyro, accel)
             self.n_imu += 1
             got = True
@@ -73,15 +90,32 @@ class LiveDriver:
         self._errors = 0
         got = True
         done = self.batcher.push(pkt)
-        if done is not None:
-            self._process_frame(done)
+        if self.timestamp_mode == "host":
+            # TIME_FROM_ROS_TIME: receive time of a frame's FIRST packet,
+            # extrapolated back to column 0 by the packet's first
+            # measurement id (lidar_packet_handler.h:234-242,266-282).
+            # On rollover `pkt` opens the next frame, so stash its estimate
+            # after consuming the previous one for the completed scan.
+            first_m_id = int(np.frombuffer(
+                pkt, np.uint16, 1, offset=self.pf.packet_header_size + 8)[0])
+            pkt_frame_ts = time.time() - (self._col_spacing_ns
+                                          * first_m_id * 1e-9)
+            if self._host_frame_ts is None:
+                self._host_frame_ts = pkt_frame_ts
+            if done is not None:
+                self._process_frame(done, self._host_frame_ts)
+                self._host_frame_ts = pkt_frame_ts
+        elif done is not None:
+            self._process_frame(done, None)
         return got
 
-    def _process_frame(self, scan: ou.LidarScan) -> None:
+    def _process_frame(self, scan: ou.LidarScan,
+                       host_ts: Optional[float]) -> None:
+        scan_ts_ns = self.timestamper(scan.timestamp)
         xyz, rel_t, valid, scan_ts_ns = ou.scan_to_points(
-            scan, self.direction, self.offset)
-        header = (scan_ts_ns * 1e-9 if self.timestamp_mode == "sensor"
-                  else time.time())
+            scan, self.direction, self.offset, scan_ts_ns=scan_ts_ns,
+            ts_offset_ns=self.ptp_offset_ns)
+        header = host_ts if host_ts is not None else scan_ts_ns * 1e-9
         xyz = np.where(valid[:, None], xyz, np.float32(np.nan))
         try:
             self.slam.process_scan(header, xyz, rel_t.astype(np.float64))

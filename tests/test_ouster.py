@@ -261,3 +261,65 @@ def test_native_parser_all_profiles(profile):
         np.testing.assert_array_equal(out["reflectivity"][:, sl], refl)
         np.testing.assert_array_equal(out["near_ir"][:, sl], nir)
         assert (out["frame_id"][sl] == 7).all()
+
+
+def test_ts_safe_offset_add_clamps():
+    ts = np.array([0, 5, 100], np.uint64)
+    np.testing.assert_array_equal(ou.ts_safe_offset_add(ts, 10),
+                                  [10, 15, 110])
+    np.testing.assert_array_equal(ou.ts_safe_offset_add(ts, -10),
+                                  [0, 0, 90])
+
+
+def test_scan_timestamper_extrapolate_and_impute():
+    """compute_scan_ts_0/_n: missing leading columns extrapolate on the
+    first scan and interpolate across the frame gap on later scans
+    (lidar_packet_handler.h:158-227)."""
+    info = _simple_info(h=2, w=32)
+    info.lidar_mode = "1024x10"  # spacing still derived from W below
+    tstamper = ou.ScanTimestamper(info)
+    spacing = ou.scan_col_ts_spacing_ns(info)
+
+    # Scan 1: columns 4.. valid, 0..3 dropped -> extrapolate back 4 cols.
+    ts1 = np.zeros(32, np.uint64)
+    base = 10_000_000_000
+    ts1[4:] = base + (np.arange(4, 32) * spacing).astype(np.uint64)
+    est1 = tstamper(ts1)
+    assert abs(est1 - base) <= 1
+
+    # Scan 2: columns 2.. valid; impute between scan1's last valid column
+    # (31) and this scan's first (32 + 2), evaluated at column 32.
+    ts2 = np.zeros(32, np.uint64)
+    base2 = base + int(32 * spacing)
+    ts2[2:] = base2 + (np.arange(2, 32) * spacing).astype(np.uint64)
+    est2 = tstamper(ts2)
+    assert abs(est2 - base2) <= 1
+
+    # Complete scan: stamp = column 0 timestamp exactly.
+    ts3 = base2 + int(32 * spacing) + (np.arange(32) * spacing).astype(
+        np.uint64)
+    assert tstamper(ts3) == int(ts3[0])
+
+
+def test_scan_timestamper_ptp_offset():
+    info = _simple_info(h=2, w=32)
+    tai = -37_000_000_000
+    tstamper = ou.ScanTimestamper(info, ptp_utc_tai_offset_ns=tai)
+    ts = np.full(32, 50_000_000_000, np.uint64) \
+        + (np.arange(32) * ou.scan_col_ts_spacing_ns(info)).astype(np.uint64)
+    assert tstamper(ts.copy()) == int(ts[0]) + tai
+    # scan_to_points applies the same offset to per-point relative times
+    scan = ou.LidarScan(ts.copy(), np.ones(32, np.uint32),
+                        np.arange(32, dtype=np.uint16),
+                        np.full((2, 32), 1000, np.uint32),
+                        np.zeros((2, 32), np.uint16),
+                        np.zeros((2, 32), np.uint16),
+                        np.zeros((2, 32), np.uint16))
+    d, o = ou.make_xyz_lut(info)
+    _, rel_t, _, stamp = ou.scan_to_points(scan, d, o,
+                                           scan_ts_ns=int(ts[0]) + tai,
+                                           ts_offset_ns=tai)
+    assert stamp == int(ts[0]) + tai
+    np.testing.assert_allclose(
+        rel_t.reshape(2, 32)[0],
+        np.arange(32) * ou.scan_col_ts_spacing_ns(info) * 1e-9, atol=1e-9)

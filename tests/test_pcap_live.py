@@ -127,3 +127,65 @@ def test_live_driver_over_udp(rng):
         assert xyz.shape == (4 * 32, 3)
     finally:
         drv.close()
+
+
+@pytest.mark.parametrize("mode", ["sensor", "ptp", "host"])
+def test_live_driver_timestamp_modes(rng, mode):
+    """The three reference timestamp strategies
+    (lidar_packet_handler.h:111-128): sensor clock, PTP with TAI offset,
+    host receive time extrapolated to column 0."""
+    lib = __import__("noetic_slam_tpu.runtime.native",
+                     fromlist=["load"]).load()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+
+    from noetic_slam_tpu.runtime.live import LiveDriver
+
+    info = _simple_info()
+    pf = ou.PacketFormat(info)
+
+    class SinkSlam:
+        def __init__(self):
+            self.imu = []
+            self.scans = []
+
+        def push_imu(self, stamp, gyro, accel):
+            self.imu.append(stamp)
+
+        def process_scan(self, header, xyz, pt):
+            self.scans.append(header)
+
+    sink = SinkSlam()
+    port = {"sensor": 47911, "ptp": 47913, "host": 47915}[mode]
+    drv = LiveDriver(sink, info, lidar_port=port, imu_port=port + 1,
+                     timestamp_mode=mode, ptp_utc_tai_offset_s=-37.0)
+    t_wall0 = time.time()
+    base = 100_000_000_000
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for f in range(2):
+            for p in range(info.columns_per_frame // 8):
+                m_ids = np.arange(p * 8, p * 8 + 8)
+                ts = base * (f + 1) + m_ids.astype(np.uint64) * 1000
+                pkt = _build_packet(pf, f, m_ids, ts,
+                                    rng.integers(500, 60_000, size=(pf.h, 8)))
+                tx.sendto(pkt, ("127.0.0.1", port))
+        imu = bytearray(48)
+        imu[0:8] = (base + 500).to_bytes(8, "little")
+        imu[24:48] = np.zeros(6, np.float32).tobytes()
+        tx.sendto(bytes(imu), ("127.0.0.1", port + 1))
+        time.sleep(0.3)
+        for _ in range(30):
+            drv.poll_once(timeout_ms=50)
+        assert len(sink.scans) >= 1 and len(sink.imu) == 1
+        header = sink.scans[0]
+        if mode == "sensor":
+            assert abs(header - base * 1e-9) < 1e-6
+            assert abs(sink.imu[0] - (base + 500) * 1e-9) < 1e-9
+        elif mode == "ptp":
+            assert abs(header - (base * 1e-9 - 37.0)) < 1e-6
+            assert abs(sink.imu[0] - ((base + 500) * 1e-9 - 37.0)) < 1e-9
+        else:  # host: wall-clock time around the send window
+            assert t_wall0 - 1.0 < header < time.time() + 1.0
+    finally:
+        drv.close()
