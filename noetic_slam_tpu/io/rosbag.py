@@ -5,7 +5,7 @@ Data"; scripts/rosbag-replay.sh). This module implements the subset of the
 bag format needed to replay LiDAR-inertial logs and to export results:
 
 - record/chunk structure per the rosbag v2.0 spec (op 0x03 bag header,
-  0x05 chunk [none|bz2 compression], 0x07 connection, 0x02 message data);
+  0x05 chunk [none|bz2|lz4 compression], 0x07 connection, 0x02 message data);
 - binary deserialization of ``sensor_msgs/Imu`` and
   ``sensor_msgs/PointCloud2`` (vectorized field extraction via NumPy
   strided views — the role of pcl::fromROSMsg in getScanFromROS,
@@ -169,7 +169,7 @@ def parse_pointcloud2(data: bytes) -> dict:
 
 class BagReader:
     """Stream (topic, type, stamp, raw_bytes) message records from a v2.0
-    bag (none/bz2 chunk compression)."""
+    bag (none/bz2/lz4 chunk compression)."""
 
     def __init__(self, path: str):
         self.path = path
@@ -190,13 +190,9 @@ class BagReader:
                     if comp == "bz2":
                         data = bz2.decompress(data)
                     elif comp == "lz4":
-                        try:
-                            import lz4.frame  # optional
+                        from noetic_slam_tpu.utils import lz4frame
 
-                            data = lz4.frame.decompress(data)
-                        except ImportError as e:
-                            raise RuntimeError(
-                                "lz4-compressed bag; lz4 unavailable") from e
+                        data = lz4frame.decompress(data)
                     yield from self._chunk_messages(data, topics)
                 elif op == OP_CONNECTION:
                     self._add_connection(header, data)
@@ -254,11 +250,15 @@ def _mk_record(fields: dict, data: bytes) -> bytes:
 
 
 class BagWriter:
-    """Minimal uncompressed single-chunk v2.0 writer (readable by this
-    module and by rosbag)."""
+    """Minimal single-chunk v2.0 writer (readable by this module and by
+    rosbag). ``compression`` in {"none", "bz2", "lz4"}; lz4 uses the
+    LZ4 frame format, the same framing roslz4 reads."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, compression: str = "none"):
+        if compression not in ("none", "bz2", "lz4"):
+            raise ValueError(f"unknown compression {compression!r}")
         self.path = path
+        self.compression = compression
         self._conns: dict[str, int] = {}
         self._conn_records: list[bytes] = []
         self._msgs: list[bytes] = []
@@ -337,6 +337,13 @@ class BagWriter:
 
     def close(self) -> None:
         chunk = b"".join(self._conn_records) + b"".join(self._msgs)
+        raw_size = len(chunk)
+        if self.compression == "bz2":
+            chunk = bz2.compress(chunk)
+        elif self.compression == "lz4":
+            from noetic_slam_tpu.utils import lz4frame
+
+            chunk = lz4frame.compress(chunk)
         with open(self.path, "wb") as f:
             f.write(_MAGIC)
             f.write(_mk_record(
@@ -346,8 +353,9 @@ class BagWriter:
                  "chunk_count": struct.pack("<I", 1)},
                 b"\x20" * 4096))
             f.write(_mk_record(
-                {"op": bytes([OP_CHUNK]), "compression": b"none",
-                 "size": struct.pack("<I", len(chunk))}, chunk))
+                {"op": bytes([OP_CHUNK]),
+                 "compression": self.compression.encode(),
+                 "size": struct.pack("<I", raw_size)}, chunk))
 
 
 def replay_bag(path: str, pipeline, pointcloud_topic=None, imu_topic=None,

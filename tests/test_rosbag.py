@@ -8,9 +8,15 @@ from noetic_slam_tpu.io import rosbag
 from noetic_slam_tpu.utils import synthetic
 
 
-def test_bag_roundtrip(tmp_path, rng):
+@pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
+def test_bag_roundtrip(tmp_path, rng, compression):
+    if compression == "lz4":
+        from noetic_slam_tpu.utils import lz4frame
+
+        if not lz4frame.available():
+            pytest.skip("liblz4 unavailable")
     path = str(tmp_path / "t.bag")
-    w = rosbag.BagWriter(path)
+    w = rosbag.BagWriter(path, compression=compression)
     xyz = rng.normal(size=(100, 3)).astype(np.float32)
     tns = (np.arange(100) * 1000).astype(np.uint32)
     w.write_imu("/imu/data", 1.5, [0.1, 0.2, 0.3], [0, 0, 9.8])
@@ -98,3 +104,17 @@ def test_bag_replay_end_to_end(tmp_path):
     ate = synthetic.ate_rmse(traj[:, 0] - 1_000_000.0, traj[:, 1:4],
                              sim.gt_stamps, sim.gt_pos)
     assert ate < 0.06, ate
+
+
+def test_lz4_frame_roundtrip():
+    """LZ4 frame codec (ctypes liblz4) used for lz4 bag chunks."""
+    from noetic_slam_tpu.utils import lz4frame
+
+    if not lz4frame.available():
+        pytest.skip("liblz4 unavailable")
+    data = b"noetic" * 10_000 + bytes(range(256)) * 100
+    comp = lz4frame.compress(data)
+    assert len(comp) < len(data) // 2
+    assert lz4frame.decompress(comp) == data
+    # standard frame magic (roslz4 interop)
+    assert comp[:4] == b"\x04\x22\x4d\x18"
