@@ -253,7 +253,9 @@ class PacketFormat:
 
 @dataclasses.dataclass
 class LidarScan:
-    """Column-major frame (lidar_scan.h): per-column headers + field images."""
+    """Column-major frame (lidar_scan.h): per-column headers + field images.
+    Second-return images (``range2``…) are populated for dual-return
+    profiles only (lidar_scan.h field tables per profile)."""
     timestamp: np.ndarray     # (W,) uint64 ns
     status: np.ndarray        # (W,) 1 = valid
     measurement_id: np.ndarray
@@ -262,6 +264,17 @@ class LidarScan:
     reflectivity: np.ndarray
     near_ir: np.ndarray
     frame_id: int = -1
+    range2: Optional[np.ndarray] = None
+    signal2: Optional[np.ndarray] = None
+    reflectivity2: Optional[np.ndarray] = None
+
+    def fields_for_return(self, return_idx: int):
+        """(range, signal, reflectivity) images of the given return."""
+        if return_idx == 0:
+            return self.range, self.signal, self.reflectivity
+        if self.range2 is None:
+            raise ValueError("scan has no second return")
+        return self.range2, self.signal2, self.reflectivity2
 
 
 class ScanBatcher:
@@ -276,12 +289,17 @@ class ScanBatcher:
 
     def _empty(self) -> LidarScan:
         h, w = self.info.pixels_per_column, self.info.columns_per_frame
-        return LidarScan(np.zeros(w, np.uint64), np.zeros(w, np.uint32),
+        scan = LidarScan(np.zeros(w, np.uint64), np.zeros(w, np.uint32),
                          np.zeros(w, np.uint16),
                          np.zeros((h, w), np.uint32),
                          np.zeros((h, w), np.uint16),
                          np.zeros((h, w), np.uint16),
                          np.zeros((h, w), np.uint16))
+        if self.pf.dual_return:
+            scan.range2 = np.zeros((h, w), np.uint32)
+            scan.signal2 = np.zeros((h, w), np.uint16)
+            scan.reflectivity2 = np.zeros((h, w), np.uint16)
+        return scan
 
     def push(self, buf: bytes) -> Optional[LidarScan]:
         """Feed one lidar packet; returns a completed frame or None."""
@@ -309,6 +327,12 @@ class ScanBatcher:
         s.signal[:, cols] = sig[:, ok]
         s.reflectivity[:, cols] = refl[:, ok]
         s.near_ir[:, cols] = nir[:, ok]
+        if self.pf.dual_return:
+            _, _, _, rng2, sig2, refl2, _ = self.pf.parse_lidar_packet(
+                buf, return_idx=1)
+            s.range2[:, cols] = rng2[:, ok]
+            s.signal2[:, cols] = sig2[:, ok]
+            s.reflectivity2[:, cols] = refl2[:, ok]
         return done
 
     def flush(self) -> Optional[LidarScan]:
@@ -378,7 +402,7 @@ def destagger(img: np.ndarray, pixel_shift_by_row: np.ndarray,
 
 def scan_to_points(scan: LidarScan, direction: np.ndarray,
                    offset: np.ndarray, scan_ts_ns: Optional[int] = None,
-                   ts_offset_ns: int = 0):
+                   ts_offset_ns: int = 0, return_idx: int = 0):
     """LidarScan -> (xyz (H*W, 3) f32, rel_t (H*W,) f32 seconds, valid).
 
     Sensor-time strategy: scan stamp = earliest valid column timestamp
@@ -386,7 +410,8 @@ def scan_to_points(scan: LidarScan, direction: np.ndarray,
     per-point time = column ts - scan stamp (os_ros.cpp:117-229 relative
     timestamps). ``ts_offset_ns`` applies the PTP TAI offset to column
     timestamps first. Returns (xyz, rel_t, valid, scan_stamp_ns)."""
-    h, w = scan.range.shape
+    rng_img = scan.fields_for_return(return_idx)[0]
+    h, w = rng_img.shape
     valid_col = scan.status.astype(bool)
     ts = scan.timestamp
     if ts_offset_ns:
@@ -397,12 +422,34 @@ def scan_to_points(scan: LidarScan, direction: np.ndarray,
         scan_ts = ts[valid_col].min() if valid_col.any() else np.uint64(0)
     rel = np.where(valid_col,
                    ts.astype(np.int64) - np.int64(scan_ts), 0) * 1e-9
-    xyz = cartesian(scan.range, direction, offset).astype(np.float32)
+    xyz = cartesian(rng_img, direction, offset).astype(np.float32)
     rel_t = np.broadcast_to(rel[None, :], (h, w)).reshape(-1).astype(
         np.float32)
-    valid = ((scan.range.reshape(-1) > 0)
+    valid = ((rng_img.reshape(-1) > 0)
              & np.broadcast_to(valid_col[None, :], (h, w)).reshape(-1))
     return xyz, rel_t, valid, int(scan_ts)
+
+
+def scan_to_laser_scan(scan: LidarScan, info: SensorInfo, ring: int,
+                       return_idx: int = 0) -> dict:
+    """One beam row -> planar laser scan (lidar_scan_to_laser_scan_msg,
+    os_ros.cpp:354-390): ranges in meters and signal intensities over the
+    ring's columns in reversed column order (the reference iterates the
+    row back-to-front so angles run angle_min..angle_max), with the
+    LaserScan timing/angle metadata derived from the lidar mode."""
+    if not 0 <= ring < info.pixels_per_column:
+        raise ValueError(f"ring {ring} out of range")
+    w = info.columns_per_frame
+    rng_img, sig_img, _ = scan.fields_for_return(return_idx)
+    return {
+        "angle_min": -np.pi, "angle_max": np.pi,
+        "angle_increment": 2 * np.pi / w,
+        "time_increment": 1.0 / (w * info.fps),
+        "scan_time": 1.0 / info.fps,
+        "range_min": 0.1, "range_max": 120.0,
+        "ranges": rng_img[ring, ::-1].astype(np.float32) * 1e-3,
+        "intensities": sig_img[ring, ::-1].astype(np.float32),
+    }
 
 
 def scan_col_ts_spacing_ns(info: SensorInfo) -> float:

@@ -323,3 +323,59 @@ def test_scan_timestamper_ptp_offset():
     np.testing.assert_allclose(
         rel_t.reshape(2, 32)[0],
         np.arange(32) * ou.scan_col_ts_spacing_ns(info) * 1e-9, atol=1e-9)
+
+
+def test_dual_return_batching_and_laser_scan():
+    """Dual-return frames accumulate both returns; scan_to_laser_scan
+    extracts one ring (reversed columns, meters) per return
+    (os_ros.cpp:354-390)."""
+    info = _simple_info(profile=ou.PROFILE_DUAL)
+    pf = ou.PacketFormat(info)
+    batcher = ou.ScanBatcher(info)
+    rng = np.random.default_rng(9)
+    W = info.columns_per_frame
+    r1_all = rng.integers(1, 50_000, (pf.h, W)).astype(np.uint32)
+    r2_all = rng.integers(1, 50_000, (pf.h, W)).astype(np.uint32)
+    s2_all = rng.integers(0, 60_000, (pf.h, W)).astype(np.uint32)
+    for f in (0, 1):
+        for p in range(W // pf.cols):
+            m_ids = np.arange(p * pf.cols, (p + 1) * pf.cols)
+            ts = 10 ** 9 * (f + 1) + m_ids * 100
+            fields = {
+                "range": r1_all[:, m_ids], "range2": r2_all[:, m_ids],
+                "signal2": s2_all[:, m_ids],
+                "signal": np.full((pf.h, pf.cols), 7),
+                "reflectivity": np.full((pf.h, pf.cols), 3),
+                "reflectivity2": np.full((pf.h, pf.cols), 4),
+                "near_ir": np.zeros((pf.h, pf.cols)),
+            }
+            done = batcher.push(
+                _build_packet_fields(pf, f, m_ids, ts, fields))
+            if done is not None:
+                scan = done
+    np.testing.assert_array_equal(scan.range, r1_all)
+    np.testing.assert_array_equal(scan.range2, r2_all)
+    np.testing.assert_array_equal(scan.signal2, s2_all)
+    assert (scan.reflectivity2 == 4).all()
+
+    ls0 = ou.scan_to_laser_scan(scan, info, ring=2)
+    ls1 = ou.scan_to_laser_scan(scan, info, ring=2, return_idx=1)
+    np.testing.assert_allclose(ls0["ranges"], r1_all[2, ::-1] * 1e-3,
+                               rtol=1e-6)
+    np.testing.assert_allclose(ls1["ranges"], r2_all[2, ::-1] * 1e-3,
+                               rtol=1e-6)
+    np.testing.assert_allclose(ls1["intensities"], s2_all[2, ::-1])
+    assert ls0["angle_increment"] == pytest.approx(2 * np.pi / W)
+    assert ls0["scan_time"] == pytest.approx(1.0 / info.fps)
+
+    # second-return projection path
+    d, o = ou.make_xyz_lut(info)
+    xyz2, _, valid2, _ = ou.scan_to_points(scan, d, o, return_idx=1)
+    r_rec = np.linalg.norm(xyz2[valid2], axis=1)
+    assert np.allclose(r_rec, (r2_all * 1e-3).reshape(-1)[valid2], atol=0.05)
+
+    # single-return profile rejects return_idx=1
+    info1 = _simple_info()
+    b1 = ou.ScanBatcher(info1)
+    with pytest.raises(ValueError):
+        ou.scan_to_laser_scan(b1._empty(), info1, ring=0, return_idx=1)
