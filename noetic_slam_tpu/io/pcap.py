@@ -1,12 +1,13 @@
-"""Pcap packet capture reader/writer (pure Python, no libpcap).
+"""Pcap/pcapng packet capture reader/writer (pure Python, no libpcap).
 
 Parity with the reference's ouster_pcap package (ouster-sdk/ouster_pcap/):
 recorded UDP captures replayed through the parsing stack are the SDK's only
 hardware-free end-to-end path (SURVEY.md §4, pcap_test.cpp). This reader
 handles classic pcap files (magic 0xa1b2c3d4 / 0xd4c3b2a1, micro- and
-nanosecond variants) with Ethernet/IPv4/UDP framing and yields
-(timestamp, dst_port, payload) tuples; the writer produces captures the
-reader (and tcpdump) can consume.
+nanosecond variants) and pcapng captures (SHB/IDB/EPB/SPB blocks, per-
+interface if_tsresol) with Ethernet/IPv4/UDP framing, yielding
+(timestamp, dst_port, payload) tuples; the writer produces classic
+captures the reader (and tcpdump) can consume.
 """
 
 from __future__ import annotations
@@ -16,33 +17,23 @@ from typing import Iterator, Optional
 
 MAGIC_US = 0xA1B2C3D4
 MAGIC_NS = 0xA1B23C4D
+MAGIC_PCAPNG = 0x0A0D0D0A  # SHB block type
 
 
 def read_pcap(path: str, port: Optional[int] = None) -> Iterator[tuple]:
     """Yield (ts_seconds: float, dst_port: int, payload: bytes) for each UDP
-    packet (optionally filtered by destination port)."""
+    packet (optionally filtered by destination port). Dispatches on the
+    file magic between classic pcap and pcapng."""
     with open(path, "rb") as f:
-        hdr = f.read(24)
-        if len(hdr) < 24:
+        first = f.read(4)
+        if len(first) < 4:
             return
-        magic = struct.unpack("<I", hdr[:4])[0]
-        if magic in (MAGIC_US, MAGIC_NS):
-            endian = "<"
+        f.seek(0)
+        if struct.unpack("<I", first)[0] == MAGIC_PCAPNG:
+            frames = _read_pcapng(f)
         else:
-            magic = struct.unpack(">I", hdr[:4])[0]
-            if magic not in (MAGIC_US, MAGIC_NS):
-                raise ValueError("not a pcap file")
-            endian = ">"
-        ns = magic == MAGIC_NS
-        while True:
-            ph = f.read(16)
-            if len(ph) < 16:
-                return
-            ts_sec, ts_frac, incl, _orig = struct.unpack(endian + "IIII", ph)
-            data = f.read(incl)
-            if len(data) < incl:
-                return
-            ts = ts_sec + ts_frac * (1e-9 if ns else 1e-6)
+            frames = _read_classic(f)
+        for ts, data in frames:
             pkt = _parse_udp(data)
             if pkt is None:
                 continue
@@ -50,6 +41,84 @@ def read_pcap(path: str, port: Optional[int] = None) -> Iterator[tuple]:
             if port is not None and dst != port:
                 continue
             yield ts, dst, payload
+
+
+def _read_classic(f) -> Iterator[tuple]:
+    hdr = f.read(24)
+    if len(hdr) < 24:
+        return
+    magic = struct.unpack("<I", hdr[:4])[0]
+    if magic in (MAGIC_US, MAGIC_NS):
+        endian = "<"
+    else:
+        magic = struct.unpack(">I", hdr[:4])[0]
+        if magic not in (MAGIC_US, MAGIC_NS):
+            raise ValueError("not a pcap file")
+        endian = ">"
+    ns = magic == MAGIC_NS
+    while True:
+        ph = f.read(16)
+        if len(ph) < 16:
+            return
+        ts_sec, ts_frac, incl, _orig = struct.unpack(endian + "IIII", ph)
+        data = f.read(incl)
+        if len(data) < incl:
+            return
+        yield ts_sec + ts_frac * (1e-9 if ns else 1e-6), data
+
+
+def _pcapng_tsresol(options: bytes, endian: str) -> float:
+    """Scan IDB options for if_tsresol (code 9); default 1e-6."""
+    off = 0
+    while off + 4 <= len(options):
+        code, olen = struct.unpack_from(endian + "HH", options, off)
+        off += 4
+        if code == 0:  # opt_endofopt
+            break
+        if code == 9 and olen >= 1:
+            v = options[off]
+            return 2.0 ** -(v & 0x7F) if v & 0x80 else 10.0 ** -v
+        off += (olen + 3) & ~3
+    return 1e-6
+
+
+def _read_pcapng(f) -> Iterator[tuple]:
+    """Walk pcapng blocks (SHB 0x0A0D0D0A, IDB 1, EPB 6, SPB 3)."""
+    endian = "<"
+    tsresols: list[float] = []
+    while True:
+        head = f.read(8)
+        if len(head) < 8:
+            return
+        btype = struct.unpack(endian + "I", head[:4])[0]
+        if btype == MAGIC_PCAPNG:
+            # new section: byte-order magic decides endianness
+            body = f.read(4)
+            bom = struct.unpack("<I", body)[0]
+            endian = "<" if bom == 0x1A2B3C4D else ">"
+            blen = struct.unpack(endian + "I", head[4:8])[0]
+            f.read(blen - 12)  # rest of SHB incl. trailing length
+            tsresols = []
+            continue
+        blen = struct.unpack(endian + "I", head[4:8])[0]
+        if blen < 12:
+            raise ValueError("corrupt pcapng block")
+        body = f.read(blen - 12)
+        f.read(4)  # trailing block length
+        if len(body) < blen - 12:
+            return
+        if btype == 1:  # IDB: u16 linktype, u16 reserved, u32 snaplen, opts
+            tsresols.append(_pcapng_tsresol(body[8:], endian))
+        elif btype == 6:  # EPB
+            if_id, ts_hi, ts_lo, cap_len, _orig = struct.unpack_from(
+                endian + "IIIII", body, 0)
+            data = body[20:20 + cap_len]
+            res = tsresols[if_id] if if_id < len(tsresols) else 1e-6
+            yield ((ts_hi << 32) | ts_lo) * res, data
+        elif btype == 3:  # SPB: orig len, then data (no timestamp)
+            (orig,) = struct.unpack_from(endian + "I", body, 0)
+            yield 0.0, body[4:4 + orig]
+        # other block types (NRB, ISB, custom) are skipped
 
 
 def _parse_udp(frame: bytes):

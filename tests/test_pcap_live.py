@@ -189,3 +189,52 @@ def test_live_driver_timestamp_modes(rng, mode):
             assert t_wall0 - 1.0 < header < time.time() + 1.0
     finally:
         drv.close()
+
+
+def test_pcapng_reader(tmp_path, rng):
+    """pcapng (SHB/IDB/EPB) captures parse identically to classic pcap,
+    honoring per-interface if_tsresol."""
+    import struct
+
+    from noetic_slam_tpu.io import pcap as pc
+
+    payloads = [rng.integers(0, 255, 64, dtype=np.uint8).tobytes()
+                for _ in range(5)]
+    stamps = [1.25 + 0.1 * i for i in range(5)]
+
+    def block(btype, body):
+        blen = 12 + len(body)
+        pad = (4 - blen % 4) % 4
+        blen += pad
+        return (struct.pack("<II", btype, blen) + body + b"\0" * pad
+                + struct.pack("<I", blen))
+
+    # SHB: byte-order magic, version 1.0, section length -1
+    shb = block(0x0A0D0D0A,
+                struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+    # IDB: linktype 1 (ethernet), snaplen, if_tsresol=9 (ns), endofopt
+    idb = block(1, struct.pack("<HHI", 1, 0, 0)
+                + struct.pack("<HH", 9, 1) + b"\x09\0\0\0"
+                + struct.pack("<HH", 0, 0))
+    blocks = [shb, idb]
+    for ts, pl in zip(stamps, payloads):
+        frame = pc._build_frame(7502, 7502, pl)
+        ts_ns = int(ts * 1e9)
+        body = struct.pack("<IIIII", 0, ts_ns >> 32, ts_ns & 0xFFFFFFFF,
+                           len(frame), len(frame)) + frame
+        blocks.append(block(6, body))
+    path = str(tmp_path / "t.pcapng")
+    with open(path, "wb") as f:
+        f.write(b"".join(blocks))
+
+    got = list(pc.read_pcap(path, port=7502))
+    assert len(got) == 5
+    for (ts, dst, pl), ts_e, pl_e in zip(got, stamps, payloads):
+        assert dst == 7502 and pl == pl_e
+        assert abs(ts - ts_e) < 1e-9
+
+    # classic writer output parses to the same stream
+    classic = str(tmp_path / "t.pcap")
+    pc.write_pcap(classic, [(t, 7502, p) for t, p in zip(stamps, payloads)])
+    got2 = list(pc.read_pcap(classic, port=7502))
+    assert [p for _, _, p in got2] == payloads
