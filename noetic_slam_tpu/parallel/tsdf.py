@@ -46,7 +46,7 @@ def init_sharded_tsdf(cfg: TsdfConfig, mesh, axis: str = "map") -> TsdfState:
         dir_keys=jax.device_put(state.dir_keys, sh),
         dir_slots=jax.device_put(state.dir_slots, sh),
         num_blocks=jax.device_put(state.num_blocks, rep),
-        tsdf=jax.device_put(state.tsdf, sh),
+        wsum=jax.device_put(state.wsum, sh),
         weight=jax.device_put(state.weight, sh),
         dropped=jax.device_put(state.dropped, rep),
     )
@@ -76,7 +76,7 @@ def make_sharded_integrate(cfg: TsdfConfig, mesh, axis: str = "map"):
                             dropped=state.dropped + dr)
 
     specs = TsdfState(dir_keys=P(axis), dir_slots=P(axis), num_blocks=P(),
-                      tsdf=P(axis), weight=P(axis), dropped=P())
+                      wsum=P(axis), weight=P(axis), dropped=P())
     fn = jax.shard_map(
         spmd, mesh=mesh,
         in_specs=(specs, P(), P(), P()),
@@ -92,8 +92,8 @@ def gather_sharded_state(cfg: TsdfConfig, state: TsdfState, mesh,
     import numpy as np
 
     ndev = mesh.shape[axis]
-    keys, slots, tsdf, weight, nb, dr = jax.device_get(
-        (state.dir_keys, state.dir_slots, state.tsdf, state.weight,
+    keys, slots, wsum, weight, nb, dr = jax.device_get(
+        (state.dir_keys, state.dir_slots, state.wsum, state.weight,
          state.num_blocks, state.dropped))
     C = len(keys)
     c_local = C // ndev
@@ -107,5 +107,5 @@ def gather_sharded_state(cfg: TsdfConfig, state: TsdfState, mesh,
         dir_keys=jnp.asarray(keys[order]),
         dir_slots=jnp.asarray(slots[order]),
         num_blocks=jnp.asarray(nb),
-        tsdf=jnp.asarray(tsdf), weight=jnp.asarray(weight),
+        wsum=jnp.asarray(wsum), weight=jnp.asarray(weight),
         dropped=jnp.asarray(dr))

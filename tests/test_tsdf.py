@@ -54,7 +54,7 @@ def test_integrate_flat_wall():
     keys = tsdf._block_key(jnp.asarray([[5, 0, 0]], jnp.int32))  # x in [4,4.8]
     slot = int(tsdf._lookup(st, keys)[0])
     assert slot >= 0
-    dvals = np.asarray(st.tsdf[slot])
+    dvals = np.asarray(tsdf.tsdf_distance(cfg, st)[slot])
     wvals = np.asarray(st.weight[slot])
     assert dvals[wvals > 0].mean() > 0  # front side mostly free
 
@@ -74,7 +74,7 @@ def test_integrate_weighted_average_converges():
     slot = int(tsdf._lookup(st, tsdf._block_key(
         jnp.asarray([b], jnp.int32)))[0])
     iv = intra[0] + (intra[1] << 3) + (intra[2] << 6)
-    assert abs(float(st.tsdf[slot, iv])) < cfg.voxel_size
+    assert abs(float(tsdf.tsdf_distance(cfg, st)[slot, iv])) < cfg.voxel_size
 
 
 def test_carving_clears_free_space():
@@ -90,7 +90,7 @@ def test_carving_clears_free_space():
         jnp.asarray([b], jnp.int32)))[0])
     assert slot >= 0
     w = np.asarray(st.weight[slot])
-    d = np.asarray(st.tsdf[slot])
+    d = np.asarray(tsdf.tsdf_distance(cfg, st)[slot])
     assert d[w > 0].min() > 0.0
 
 
