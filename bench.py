@@ -75,22 +75,26 @@ def main():
     # be replayed from the relay's result cache.
     import jax.numpy as jnp
 
-    def run_window(lo, hi):
-        out = None
-        for s in range(lo, hi):
-            header, xyz, pt = scans[s]
-            feed_imu(header + pt.max() + 0.02)
-            out = pipe.process_scan(header, xyz, pt)
-        return float(jnp.sum(out.world_xyz))  # dependent fetch
+    K = min(int(os.environ.get("BENCH_BATCH", "8")), len(scans) // 4)
 
-    n1 = max((len(scans) - 4) // 3, 1)
-    run_window(0, 4)                     # compile + bootstrap
+    def run_window(lo, hi):
+        # micro-batched submission (one upload + one dispatch per K scans)
+        for b0 in range(lo, hi, K):
+            chunk = scans[b0: min(b0 + K, hi)]
+            feed_imu(max(h + pt.max() for h, _, pt in chunk) + 0.02)
+            pipe.process_scans([(h, xyz, pt) for h, xyz, pt in chunk])
+        return float(jnp.sum(pipe.state.lidar_p))  # dependent fetch
+
+    # Windows are whole K-multiples so every timed dispatch reuses the one
+    # compiled K-batch program (warmup covers compile + bootstrap).
+    n1 = K
+    run_window(0, K)                     # compile + bootstrap
     t0 = time.perf_counter()
-    run_window(4, 4 + n1)
+    run_window(K, 2 * K)
     t1 = time.perf_counter()
-    run_window(4 + n1, len(scans))
+    run_window(2 * K, 4 * K)
     t2 = time.perf_counter()
-    n2 = len(scans) - 4 - n1
+    n2 = 2 * K
     n_timed = n1 + n2
     ms_per_scan = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
     scans_per_sec = 1e3 / ms_per_scan

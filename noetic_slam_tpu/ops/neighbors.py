@@ -81,7 +81,18 @@ def nn1(query: Array, target: Array, t_count: Array | None = None, *,
             and target.shape[0] % 512 == 0):
         from noetic_slam_tpu.ops.pallas.nn_kernel import nn1_fused
 
-        return nn1_fused(query, target, t_count)
+        # Largest pow-2 tiles up to (1024, 2048): measured fastest on v5e
+        # at 8k x 64k (3.8 ms vs 7.0 ms at the 256/512 minimum — fewer
+        # Mosaic loop iterations), while still dividing every caller shape.
+        def _tile(n, cap):
+            t = cap
+            while n % t:
+                t //= 2
+            return t
+
+        return nn1_fused(query, target, t_count,
+                         q_tile=_tile(query.shape[0], 1024),
+                         t_tile=_tile(target.shape[0], 2048))
     return _nn1_xla(query, target, t_count, query_chunk=query_chunk,
                     target_chunk=target_chunk)
 

@@ -70,6 +70,8 @@ class OdometryPipeline:
         else:
             self._step = make_odometry_step(self.cfg, align_fn=align_fn)
             self.tsdf_state = None
+        self._step_raw = self._step          # unjitted, for lax.scan batching
+        self._multi_cache: dict = {}
         if jit:
             self._step = jax.jit(self._step, donate_argnums=(0,))
         self.state: Optional[OdomState] = None
@@ -161,18 +163,11 @@ class OdometryPipeline:
     def imu_covers(self, stamp: float) -> bool:
         return len(self._imu_stamps) > 0 and self._imu_stamps[-1] >= stamp
 
-    def process_scan(self, header_stamp: float, xyz: np.ndarray,
-                     point_times: Optional[np.ndarray] = None):
-        """Submit one scan (async — no device sync). ``point_times`` are
-        per-point offsets [s] from ``header_stamp`` (None -> no deskew).
-        Returns the raw StepOutput (device arrays; don't force them unless
-        needed). Trajectory/pose results are collected via ``flush()``.
-        """
-        if not self.calibrated:
-            raise NeedMoreImu("IMU calibration in progress")
-        if self.state is None:
-            self.state = init_state(self.cfg)
-
+    def _pack_scan(self, header_stamp: float, xyz: np.ndarray,
+                   point_times: Optional[np.ndarray], header_delta: float):
+        """Host-side packing of one scan into the fixed-shape StepInput
+        arrays (numpy; no device transfer). Raises NeedMoreImu if the IMU
+        buffer does not cover the sweep end."""
         cap = self.cfg.capacity
         n = cap.max_points
         m = xyz.shape[0]
@@ -188,11 +183,6 @@ class OdometryPipeline:
         sweep_end_abs = header_stamp + (float(pt.max()) if deskew and m else 0.0)
         if not self.imu_covers(sweep_end_abs):
             raise NeedMoreImu(f"IMU must cover {sweep_end_abs:.6f}")
-
-        if self.first_scan_stamp is None:
-            self.first_scan_stamp = header_stamp
-        header_delta = (0.0 if self.prev_header is None
-                        else header_stamp - self.prev_header)
 
         points = np.full((n, 5), 1e6, np.float32)
         points[:m, :3] = xyz
@@ -217,13 +207,23 @@ class OdometryPipeline:
 
         scalars = np.array([header_delta, 1.0 if deskew else 0.0, k, 0.0],
                            np.float32)
-        inp = StepInput(points=jnp.asarray(points), imu=jnp.asarray(imu),
-                        scalars=jnp.asarray(scalars))
+        return points, imu, scalars
+
+    def _submit(self, inp: StepInput):
         if self.with_tsdf:
             (self.state, self.tsdf_state), out = self._step(
                 (self.state, self.tsdf_state), inp)
         else:
             self.state, out = self._step(self.state, inp)
+        return out
+
+    def _pre_submit_checks(self):
+        if not self.calibrated:
+            raise NeedMoreImu("IMU calibration in progress")
+        if self.state is None:
+            self.state = init_state(self.cfg)
+
+    def _post_submit(self, header_stamp: float, out):
         self.prev_header = header_stamp
         self.headers.append(header_stamp)
         self.last_output = out
@@ -231,7 +231,86 @@ class OdometryPipeline:
         # before max_trajectory processed scans accumulate.
         if len(self.headers) % (self.cfg.capacity.max_trajectory // 2) == 0:
             self.flush()
+
+    def process_scan(self, header_stamp: float, xyz: np.ndarray,
+                     point_times: Optional[np.ndarray] = None):
+        """Submit one scan (async — no device sync). ``point_times`` are
+        per-point offsets [s] from ``header_stamp`` (None -> no deskew).
+        Returns the raw StepOutput (device arrays; don't force them unless
+        needed). Trajectory/pose results are collected via ``flush()``.
+        """
+        self._pre_submit_checks()
+        if self.first_scan_stamp is None:
+            self.first_scan_stamp = header_stamp
+        header_delta = (0.0 if self.prev_header is None
+                        else header_stamp - self.prev_header)
+        points, imu, scalars = self._pack_scan(header_stamp, xyz,
+                                               point_times, header_delta)
+        out = self._submit(StepInput(points=jnp.asarray(points),
+                                     imu=jnp.asarray(imu),
+                                     scalars=jnp.asarray(scalars)))
+        self._post_submit(header_stamp, out)
         return out
+
+    def _multi_step(self, K: int):
+        """Jitted K-step driver: ONE dispatch advances the state through K
+        stacked scans via lax.scan. Cached per batch size."""
+        fn = self._multi_cache.get(K)
+        if fn is None:
+            step = self._step_raw
+
+            def run(state, inputs):
+                return jax.lax.scan(
+                    lambda st, inp: step(st, inp), state, inputs)
+
+            fn = jax.jit(run, donate_argnums=(0,))
+            self._multi_cache[K] = fn
+        return fn
+
+    def process_scans(self, batch) -> None:
+        """Submit a micro-batch of scans in ONE device dispatch.
+
+        ``batch``: list of (header_stamp, xyz, point_times|None). Semantics
+        are identical to calling process_scan per element (the device step
+        runs sequentially under lax.scan); the win is host-side — one
+        stacked upload + one program dispatch instead of K, which through a
+        high-latency transport (e.g. the dev-environment device relay)
+        dominates per-scan wall time. The reference's analogue is the queue
+        drain in its processing threads (os_sensor_nodelet.cpp:549-570).
+
+        The whole batch must already have IMU coverage (NeedMoreImu
+        otherwise); per-scan StepOutputs are not returned — results flow
+        through the device trajectory ring / flush().
+        """
+        if not batch:
+            return
+        self._pre_submit_checks()
+        if self.first_scan_stamp is None:
+            self.first_scan_stamp = batch[0][0]
+
+        pts_l, imu_l, sc_l = [], [], []
+        prev = self.prev_header
+        for header_stamp, xyz, point_times in batch:
+            header_delta = 0.0 if prev is None else header_stamp - prev
+            p, i, s = self._pack_scan(header_stamp, xyz, point_times,
+                                      header_delta)
+            pts_l.append(p)
+            imu_l.append(i)
+            sc_l.append(s)
+            prev = header_stamp
+
+        inputs = StepInput(points=jnp.asarray(np.stack(pts_l)),
+                           imu=jnp.asarray(np.stack(imu_l)),
+                           scalars=jnp.asarray(np.stack(sc_l)))
+        run = self._multi_step(len(batch))
+        if self.with_tsdf:
+            (self.state, self.tsdf_state), outs = run(
+                (self.state, self.tsdf_state), inputs)
+        else:
+            self.state, outs = run(self.state, inputs)
+        for (header_stamp, _, _) in batch:
+            self._post_submit(header_stamp, None)
+        self.last_output = outs
 
     # ------------------------------------------------------------- results
     def flush(self) -> np.ndarray:

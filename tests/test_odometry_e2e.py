@@ -101,3 +101,35 @@ def test_pipeline_skips_empty_scan():
                             np.zeros(100))
     assert not bool(out.processed)
     assert pipe.num_skipped == 1
+
+
+@pytest.mark.slow
+def test_process_scans_batch_matches_per_scan():
+    """Micro-batched submission (process_scans) must be bit-identical to the
+    per-scan path: same device step, only the dispatch granularity differs."""
+    sim = synthetic.make_sim(duration=1.2, n_points=2048, calib_time=3.1,
+                             seed=5)
+    n = min(9, len(sim.scan_stamps))   # odd count -> uneven tail batch
+
+    def feed_all(pipe):
+        for i in range(len(sim.imu_stamps)):
+            pipe.push_imu(sim.imu_stamps[i], sim.imu_ang[i], sim.imu_acc[i])
+
+    # generate once: sim.scan() draws per-call noise from a shared RNG
+    scans = [sim.scan(s) for s in range(n)]
+
+    ref = OdometryPipeline(small_cfg())
+    feed_all(ref)
+    for header, xyz, pt in scans:
+        ref.process_scan(header, xyz, pt)
+    ref_traj = ref.flush()
+
+    bat = OdometryPipeline(small_cfg())
+    feed_all(bat)
+    bat.process_scans(scans[:4])
+    bat.process_scans(scans[4:8])
+    bat.process_scans(scans[8:])
+    bat_traj = bat.flush()
+
+    assert ref_traj.shape == bat_traj.shape
+    np.testing.assert_allclose(bat_traj, ref_traj, rtol=0, atol=0)
