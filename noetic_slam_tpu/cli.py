@@ -159,6 +159,21 @@ def cmd_slam(args) -> int:
                       slam.odometry, slam.tsdf, slam.graph)
         print("checkpoint -> state.nst.npz")
 
+    if args.viz:
+        from noetic_slam_tpu.io import viz as vz
+
+        if len(traj):
+            vz.write_png(os.path.join(args.out, "trajectory.png"),
+                         vz.render_trajectory(traj[:, 1:4]))
+        cloud = (slam.surface_points() if slam.tsdf is not None
+                 else km.cloud())
+        if len(cloud):
+            vz.write_png(os.path.join(args.out, "map_views.png"),
+                         vz.render_views(cloud))
+            vz.write_html_viewer(os.path.join(args.out, "map_viewer.html"),
+                                 cloud)
+            print("viz -> trajectory.png, map_views.png, map_viewer.html")
+
     print(json.dumps(metrics.summary()))
     return 0
 
@@ -245,6 +260,8 @@ def main(argv=None) -> int:
     ps.add_argument("--no-loop-closure", action="store_true")
     ps.add_argument("--checkpoint", action="store_true")
     ps.add_argument("--progress", action="store_true")
+    ps.add_argument("--viz", action="store_true",
+                    help="render trajectory/map PNGs + HTML orbit viewer")
     ps.set_defaults(fn=cmd_slam)
 
     pb = sub.add_parser("bench", help="synthetic benchmark")

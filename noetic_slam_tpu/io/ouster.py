@@ -154,6 +154,35 @@ class SensorInfo:
                    np.asarray(shifts, int), beam_az, beam_alt, b2l, l2s,
                    profile, mode, str(get("prod_sn", "")))
 
+    def to_json(self) -> str:
+        """Serialize to the SDK's non-legacy nested metadata layout
+        (types.cpp to_string role); from_json(to_json(x)) round-trips."""
+        doc = {
+            "sensor_info": {"prod_sn": self.sn},
+            "lidar_data_format": {
+                "pixels_per_column": int(self.pixels_per_column),
+                "columns_per_frame": int(self.columns_per_frame),
+                "columns_per_packet": int(self.columns_per_packet),
+                "pixel_shift_by_row": [int(v) for v in
+                                       self.pixel_shift_by_row],
+                "udp_profile_lidar": self.udp_profile_lidar,
+            },
+            "beam_intrinsics": {
+                "beam_azimuth_angles": [float(v) for v in
+                                        self.beam_azimuth_angles],
+                "beam_altitude_angles": [float(v) for v in
+                                         self.beam_altitude_angles],
+                "beam_to_lidar_transform": [float(v) for v in
+                                            self.beam_to_lidar.reshape(-1)],
+            },
+            "lidar_intrinsics": {
+                "lidar_to_sensor_transform": [
+                    float(v) for v in self.lidar_to_sensor.reshape(-1)],
+            },
+            "config_params": {"lidar_mode": self.lidar_mode},
+        }
+        return json.dumps(doc, indent=2)
+
 
 class PacketFormat:
     """Packet geometry + vectorized field extraction (parsing.cpp)."""
@@ -541,3 +570,105 @@ def scan_images(scan: LidarScan, info: SensorInfo) -> dict:
         else:
             out[k + "_norm"] = img
     return out
+
+
+class AutoExposure:
+    """Stateful damped percentile auto-exposure (image_processing.cpp:44-141).
+
+    Tracks exponentially-smoothed lo/hi percentiles over frames (damping
+    0.9, stats refreshed every ``update_every`` frames on a stride-4
+    nonzero subsample) and applies the same three-branch affine map as the
+    SDK: full lo->hi stretch, hi-only when the stretch would lift zeros
+    positive, and hi-as-0.5 when the spread degenerates.
+    """
+
+    _DAMPING = 0.90
+    _STRIDE = 4
+    _MIN_NONZERO = 100
+
+    def __init__(self, lo_percentile: float = 0.1, hi_percentile: float = 0.1,
+                 update_every: int = 3):
+        self.lo_percentile = lo_percentile
+        self.hi_percentile = hi_percentile
+        self.update_every = max(int(update_every), 1)
+        self._counter = 0
+        self._initialized = False
+        self._lo = self._lo_state = 0.0
+        self._hi = self._hi_state = 1.0
+
+    def __call__(self, image: np.ndarray, update_state: bool = True
+                 ) -> np.ndarray:
+        img = np.asarray(image, np.float64).copy()
+        if self._counter == 0 and update_state:
+            sub = img.reshape(-1)[:: self._STRIDE]
+            nz = sub[sub > 0]
+            if len(nz) >= self._MIN_NONZERO:
+                # nth_element semantics: k-th smallest / k-th largest
+                k_lo = int(len(nz) * self.lo_percentile)
+                k_hi = int(len(nz) * self.hi_percentile)
+                part = np.partition(nz, k_lo)
+                self._lo = float(part[k_lo])
+                self._hi = float(np.partition(nz, len(nz) - k_hi - 1)
+                                 [len(nz) - k_hi - 1])
+                if not self._initialized:
+                    self._initialized = True
+                    self._lo_state, self._hi_state = self._lo, self._hi
+        if not self._initialized:
+            return img
+        if update_state:
+            d = self._DAMPING
+            self._lo_state = d * self._lo_state + (1 - d) * self._lo
+            self._hi_state = d * self._hi_state + (1 - d) * self._hi
+            self._counter = (self._counter + 1) % self.update_every
+
+        spread = self._hi_state - self._lo_state
+        scale = ((1.0 - (self.lo_percentile + self.hi_percentile)) / spread
+                 if spread != 0 else np.inf)
+        if not np.isfinite(scale):
+            img *= 0.5 / self._hi_state if self._hi_state else 0.0
+        elif scale * (0.0 - self._lo_state) + self.lo_percentile <= 0.0:
+            img = (img - self._lo_state) * scale + self.lo_percentile
+        else:
+            img *= (1.0 - self.hi_percentile) / self._hi_state
+        return np.clip(img, 0.0, 1.0)
+
+
+class BeamUniformityCorrector:
+    """Per-row dark-count correction for NIR images
+    (image_processing.cpp:170-250): cumulative median row-to-row
+    difference, linearly detrended over image height, min-subtracted,
+    exponentially smoothed across frames (damping 0.92, refresh every 8)."""
+
+    _DAMPING = 0.92
+    _UPDATE_EVERY = 8
+
+    def __init__(self):
+        self._dark = None
+        self._counter = 0
+
+    @staticmethod
+    def _dark_count(img: np.ndarray) -> np.ndarray:
+        h = img.shape[0]
+        col_mask = img.astype(bool).any(axis=0)
+        if not col_mask.any():
+            return np.zeros(h)
+        diffs = np.diff(img[:, col_mask].astype(np.float64), axis=0)
+        dark = np.zeros(h)
+        dark[1:] = np.cumsum(np.median(diffs, axis=1))
+        # linear detrend over height + min-subtract
+        i = np.arange(h, dtype=np.float64)
+        A = np.stack([np.ones(h), i], axis=1)
+        coef, *_ = np.linalg.lstsq(A, dark, rcond=None)
+        dark -= A @ coef
+        return dark - dark.min()
+
+    def __call__(self, image: np.ndarray, update_state: bool = True
+                 ) -> np.ndarray:
+        img = np.asarray(image, np.float64).copy()
+        if self._dark is None or len(self._dark) != img.shape[0]:
+            self._dark = self._dark_count(img)
+        elif update_state and self._counter == 0:
+            d = self._DAMPING
+            self._dark = d * self._dark + (1 - d) * self._dark_count(img)
+        self._counter = (self._counter + 1) % self._UPDATE_EVERY
+        return np.maximum(img - self._dark[:, None], 0.0)
