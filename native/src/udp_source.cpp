@@ -79,7 +79,10 @@ struct UdpSource {
     }
 };
 
-int open_udp(int port) {
+// mcast_group: optional dotted-quad multicast group to join (the SDK's
+// MTP / multiple-topic mode, client.cpp mtp_init_client: several hosts
+// subscribe to one sensor stream); nullptr/empty for plain unicast.
+int open_udp(int port, const char* mcast_group) {
     int fd = socket(AF_INET, SOCK_DGRAM, 0);
     if (fd < 0) return -1;
     int one = 1;
@@ -94,6 +97,19 @@ int open_udp(int port) {
         close(fd);
         return -1;
     }
+    if (mcast_group != nullptr && mcast_group[0] != '\0') {
+        ip_mreq mreq{};
+        if (inet_pton(AF_INET, mcast_group, &mreq.imr_multiaddr) != 1) {
+            close(fd);
+            return -1;
+        }
+        mreq.imr_interface.s_addr = htonl(INADDR_ANY);
+        if (setsockopt(fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mreq,
+                       sizeof(mreq)) < 0) {
+            close(fd);
+            return -1;
+        }
+    }
     fcntl(fd, F_SETFL, O_NONBLOCK);
     return fd;
 }
@@ -102,13 +118,14 @@ int open_udp(int port) {
 
 extern "C" {
 
-void* nst_udp_create(int lidar_port, int imu_port, size_t lidar_size,
-                     size_t imu_size, size_t depth) {
+void* nst_udp_create_mtp(int lidar_port, int imu_port, size_t lidar_size,
+                         size_t imu_size, size_t depth,
+                         const char* mcast_group) {
     auto* src = new UdpSource();
     src->lidar_size = lidar_size;
     src->imu_size = imu_size;
-    src->lidar_fd = lidar_port > 0 ? open_udp(lidar_port) : -1;
-    src->imu_fd = imu_port > 0 ? open_udp(imu_port) : -1;
+    src->lidar_fd = lidar_port > 0 ? open_udp(lidar_port, mcast_group) : -1;
+    src->imu_fd = imu_port > 0 ? open_udp(imu_port, mcast_group) : -1;
     if ((lidar_port > 0 && src->lidar_fd < 0)
         || (imu_port > 0 && src->imu_fd < 0)) {
         delete src;
@@ -120,6 +137,12 @@ void* nst_udp_create(int lidar_port, int imu_port, size_t lidar_size,
     src->running = true;
     src->worker = std::thread([src] { src->loop(); });
     return src;
+}
+
+void* nst_udp_create(int lidar_port, int imu_port, size_t lidar_size,
+                     size_t imu_size, size_t depth) {
+    return nst_udp_create_mtp(lidar_port, imu_port, lidar_size, imu_size,
+                              depth, nullptr);
 }
 
 void nst_udp_destroy(void* h) {

@@ -40,7 +40,9 @@ class LiveDriver:
     def __init__(self, slam, info: ou.SensorInfo, lidar_port: int = 7502,
                  imu_port: int = 7503, timestamp_mode: str = "sensor",
                  ptp_utc_tai_offset_s: float = -37.0,
-                 max_read_errors: int = 60):
+                 max_read_errors: int = 60,
+                 sensor_hostname: str | None = None,
+                 mtp_group: str | None = None, max_resets: int = 3):
         if timestamp_mode not in ("sensor", "ptp", "host"):
             raise ValueError(f"unknown timestamp_mode {timestamp_mode!r}")
         self.slam = slam
@@ -55,9 +57,15 @@ class LiveDriver:
         self._col_spacing_ns = ou.scan_col_ts_spacing_ns(info)
         self._host_frame_ts: Optional[float] = None
         self.max_read_errors = max_read_errors
+        self.sensor_hostname = sensor_hostname
+        self.max_resets = max_resets
+        self.n_resets = 0
+        self._ports = (lidar_port, imu_port)
+        self._mtp_group = mtp_group
         self.source = native.UdpSource(lidar_port, imu_port,
                                        self.pf.lidar_packet_size,
-                                       self.pf.imu_packet_size)
+                                       self.pf.imu_packet_size,
+                                       mtp_group=mtp_group)
         self.n_scans = 0
         self.n_imu = 0
         self._errors = 0
@@ -83,9 +91,7 @@ class LiveDriver:
         if pkt is None:
             self._errors += 1
             if self._errors >= self.max_read_errors:
-                raise TimeoutError(
-                    f"no lidar packets for {self.max_read_errors} polls "
-                    "(sensor reset required)")
+                self._attempt_reset()
             return got
         self._errors = 0
         got = True
@@ -125,6 +131,30 @@ class LiveDriver:
 
             if not isinstance(e, NeedMoreImu):
                 raise
+
+    def _attempt_reset(self) -> None:
+        """Self-reset after sustained packet loss — the driver behavior at
+        os_sensor_nodelet.cpp:458-469 (poll-error counter -> sensor
+        reinitialization + reconnection). Without a configured sensor
+        hostname the condition escalates to the supervisor."""
+        if self.sensor_hostname is None or self.n_resets >= self.max_resets:
+            raise TimeoutError(
+                f"no lidar packets for {self.max_read_errors} polls after "
+                f"{self.n_resets} reset attempts (sensor reset required)")
+        from noetic_slam_tpu.io.sensor_http import SensorHttp
+
+        self.n_resets += 1
+        self._errors = 0
+        try:
+            SensorHttp(self.sensor_hostname).reinitialize()
+        except Exception:
+            pass  # reinit best-effort; reopening sockets below still helps
+        self.source.close()
+        self.source = native.UdpSource(self._ports[0], self._ports[1],
+                                       self.pf.lidar_packet_size,
+                                       self.pf.imu_packet_size,
+                                       mtp_group=self._mtp_group)
+        self.batcher = ou.ScanBatcher(self.info)
 
     def run(self, duration_s: Optional[float] = None) -> None:
         t0 = time.monotonic()

@@ -81,6 +81,9 @@ def _declare(lib):
     lib.nst_udp_create.restype = C.c_void_p
     lib.nst_udp_create.argtypes = [C.c_int, C.c_int, C.c_size_t, C.c_size_t,
                                    C.c_size_t]
+    lib.nst_udp_create_mtp.restype = C.c_void_p
+    lib.nst_udp_create_mtp.argtypes = [C.c_int, C.c_int, C.c_size_t,
+                                       C.c_size_t, C.c_size_t, C.c_char_p]
     lib.nst_udp_destroy.argtypes = [C.c_void_p]
     lib.nst_udp_read_lidar.restype = C.c_int
     lib.nst_udp_read_lidar.argtypes = [C.c_void_p, C.c_char_p, C.c_long]
@@ -174,16 +177,26 @@ class UdpSource:
     thread."""
 
     def __init__(self, lidar_port: int, imu_port: int, lidar_packet_size: int,
-                 imu_packet_size: int = 48, depth: int = 640):
+                 imu_packet_size: int = 48, depth: int = 640,
+                 mtp_group: str | None = None):
+        """``mtp_group``: dotted-quad multicast group to join (the SDK's
+        MTP mode, client.cpp mtp_init_client — several hosts subscribing
+        to one sensor stream); None for unicast."""
         self._lib = load(required=True)
         self.lidar_packet_size = lidar_packet_size
         self.imu_packet_size = imu_packet_size
-        self._h = self._lib.nst_udp_create(lidar_port, imu_port,
-                                           lidar_packet_size,
-                                           imu_packet_size, depth)
+        if mtp_group:
+            self._h = self._lib.nst_udp_create_mtp(
+                lidar_port, imu_port, lidar_packet_size, imu_packet_size,
+                depth, mtp_group.encode())
+        else:
+            self._h = self._lib.nst_udp_create(lidar_port, imu_port,
+                                               lidar_packet_size,
+                                               imu_packet_size, depth)
         if not self._h:
             raise OSError("failed to bind UDP ports "
-                          f"{lidar_port}/{imu_port}")
+                          f"{lidar_port}/{imu_port}"
+                          + (f" (mtp {mtp_group})" if mtp_group else ""))
 
     def read_lidar(self, timeout_ms: int = 100) -> Optional[bytes]:
         buf = C.create_string_buffer(self.lidar_packet_size)
