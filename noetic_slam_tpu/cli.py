@@ -87,18 +87,18 @@ def cmd_slam(args) -> int:
             if args.progress and idx % 50 == 0:
                 print(f"scan {idx}", file=sys.stderr)
 
-        class _Pipe:
-            """Adapter: replay_dataset drives the SlamSystem."""
-            calibrated = property(lambda self: slam.odometry.calibrated)
+        if args.batch > 1:
+            def on_batch(n):
+                slam.maybe_close_loop()
+                if args.progress:
+                    print(f"scan {n}", file=sys.stderr)
 
-            def push_imu(self, *a):
-                slam.push_imu(*a)
-
-            def process_scan(self, *a, **k):
-                return slam.process_scan(*a, **k)
-
-        stats = replay_dataset(ds, _Pipe(), rate=args.rate,
-                               max_scans=args.max_scans, on_scan=on_scan)
+            stats = replay_dataset(ds, slam, rate=0.0,
+                                   max_scans=args.max_scans,
+                                   batch=args.batch, on_batch=on_batch)
+        else:
+            stats = replay_dataset(ds, slam, rate=args.rate,
+                                   max_scans=args.max_scans, on_scan=on_scan)
         print("replay:", stats)
         gt = (np.column_stack([ds.gt_stamps, ds.gt_poses[:, :, 3]])
               if ds.gt_stamps is not None else None)
@@ -262,6 +262,9 @@ def main(argv=None) -> int:
     ps.add_argument("--progress", action="store_true")
     ps.add_argument("--viz", action="store_true",
                     help="render trajectory/map PNGs + HTML orbit viewer")
+    ps.add_argument("--batch", type=int, default=1,
+                    help="micro-batch size for scan submission (offline "
+                         "throughput mode; requires --rate 0)")
     ps.set_defaults(fn=cmd_slam)
 
     pb = sub.add_parser("bench", help="synthetic benchmark")

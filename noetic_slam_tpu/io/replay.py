@@ -44,7 +44,9 @@ class ReplayClock:
 def replay_dataset(dataset, pipeline, tsdf_integrator=None,
                    rate: float = 0.0, max_scans: Optional[int] = None,
                    on_scan: Optional[Callable] = None,
-                   skip_stop_region: Optional[tuple] = None) -> dict:
+                   skip_stop_region: Optional[tuple] = None,
+                   batch: int = 1,
+                   on_batch: Optional[Callable] = None) -> dict:
     """Drive a MulranDataset (or any object with the same interface) through
     an OdometryPipeline (+ optional TSDF integrator callback).
 
@@ -52,18 +54,42 @@ def replay_dataset(dataset, pipeline, tsdf_integrator=None,
     device). ``skip_stop_region`` (t0, t1) drops events inside an absolute
     stamp window (the file player's stop-region skip,
     ROSThread.cpp:330-350).
+
+    ``batch`` > 1 enables micro-batched submission (process_scans: one
+    device dispatch per K scans — the offline-throughput mode); it requires
+    rate == 0 and no per-scan callbacks, and produces identical results.
+    ``on_batch(n_scans)`` fires after each flushed batch (keyframe-rate
+    work such as loop-closure checks goes here).
     Returns {"n_scans", "n_imu", "wall_time"}.
     """
     from noetic_slam_tpu.runtime.pipeline import NeedMoreImu
 
+    if batch > 1 and (rate > 0 or on_scan is not None
+                      or tsdf_integrator is not None):
+        raise ValueError("batch>1 requires rate=0 and no per-scan callbacks")
+
     clock = ReplayClock(rate=rate)
     n_scans = n_imu = 0
     pending = None       # scan waiting for IMU coverage (the cv-wait analog)
+    ready: list = []     # batched mode: scans awaiting one dispatch
     t0 = time.perf_counter()
 
     def run_scan(stamp, idx):
         nonlocal n_scans
         raw = dataset.read_scan(idx)
+        if batch > 1:
+            # coverage gate BEFORE queueing: a flush must never fail on a
+            # scan that was already accepted into the batch.
+            if not pipeline.imu_covers(stamp):
+                raise NeedMoreImu(f"IMU must cover {stamp:.6f}")
+            ready.append((stamp, raw[:, :3], None))
+            if len(ready) >= batch:
+                pipeline.process_scans(ready)
+                n_scans += len(ready)
+                ready.clear()
+                if on_batch is not None:
+                    on_batch(n_scans)
+            return
         out = pipeline.process_scan(stamp, raw[:, :3], point_times=None)
         if tsdf_integrator is not None:
             tsdf_integrator(out)
@@ -93,7 +119,13 @@ def replay_dataset(dataset, pipeline, tsdf_integrator=None,
                 run_scan(stamp, idx)
             except NeedMoreImu:
                 pending = (stamp, idx)   # retry after more IMU arrives
-        if max_scans is not None and n_scans >= max_scans:
+        if max_scans is not None and n_scans + len(ready) >= max_scans:
             break
+    if ready:
+        pipeline.process_scans(ready)
+        n_scans += len(ready)
+        ready.clear()
+        if on_batch is not None:
+            on_batch(n_scans)
     return {"n_scans": n_scans, "n_imu": n_imu,
             "wall_time": time.perf_counter() - t0}

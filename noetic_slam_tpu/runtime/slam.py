@@ -49,6 +49,13 @@ class SlamSystem:
         self.odometry.push_imu(stamp, ang, acc)
 
     @property
+    def calibrated(self):
+        return self.odometry.calibrated
+
+    def imu_covers(self, stamp):
+        return self.odometry.imu_covers(stamp)
+
+    @property
     def tsdf(self):
         return self.odometry.tsdf_state
 
@@ -56,6 +63,12 @@ class SlamSystem:
         # TSDF integration is fused into the same jitted program as the
         # odometry step (models.odometry.make_slam_step).
         return self.odometry.process_scan(header_stamp, xyz, point_times)
+
+    def process_scans(self, batch):
+        """Micro-batched submission (one dispatch for K scans); identical
+        results to per-scan calls. Loop-closure checks happen between
+        batches (keyframe-rate work, as in the per-scan path)."""
+        return self.odometry.process_scans(batch)
 
     # ------------------------------------------------------- loop closures
     def sync_graph(self) -> int:

@@ -113,3 +113,32 @@ def test_mapping_nodes(tmp_path, rng):
     rec.close()
     shards = [f for f in os.listdir(tmp_path / "dense") if f.endswith(".ply")]
     assert len(shards) == 2
+
+
+def test_replay_batched_matches_per_scan(fake_mulran):
+    """replay_dataset(batch=K) must produce the identical trajectory to the
+    per-scan path (same device step, different dispatch granularity)."""
+    from noetic_slam_tpu.config.params import CapacityConfig, DlioConfig, ImuConfig
+    from noetic_slam_tpu.io.replay import replay_dataset
+    from noetic_slam_tpu.runtime.pipeline import OdometryPipeline
+
+    ds = MulranDataset.load(fake_mulran)
+    cfg = DlioConfig(
+        capacity=CapacityConfig(max_points=512, max_ds_points=256,
+                                max_deskew_frames=64, max_imu_window=32,
+                                max_keyframes=16, max_submap_kf=4),
+        imu=ImuConfig(calib_time=0.05))
+
+    ref = OdometryPipeline(cfg)
+    s1 = replay_dataset(ds, ref)
+    rt = ref.flush()
+
+    bat = OdometryPipeline(cfg)
+    batches = []
+    s2 = replay_dataset(ds, bat, batch=2,
+                        on_batch=lambda n: batches.append(n))
+    bt = bat.flush()
+
+    assert s1["n_scans"] == s2["n_scans"] > 0
+    assert batches and batches[-1] == s2["n_scans"]
+    np.testing.assert_allclose(bt, rt, rtol=0, atol=0)
