@@ -42,6 +42,7 @@ from noetic_slam_tpu.ops.pointcloud import (
     PreparedScan,
     Scan,
     crop_box,
+    morton_sort_key,
     prepare_scan,
     voxel_downsample,
 )
@@ -439,9 +440,14 @@ def gather_submap(cfg: DlioConfig, state: OdomState, mask: Array):
     xyz = xyz.reshape(Smax_kf * Nk, 3)
     valid = valid.reshape(-1)
     cov = cov.reshape(Smax_kf * Nk, 6)
-    # Compact valid points to the front (stable) so the NN engines can skip
-    # the padded capacity entirely (dynamic t_count).
-    order = jnp.argsort(~valid, stable=True)
+    # Morton-sort the merged submap: compacts valid points to the front
+    # (invalid keys -> INT32_MAX) so the NN engines skip padded capacity,
+    # AND gives target tiles compact bounding boxes for the fused NN
+    # kernel's branch-and-bound tile pruning (ops/pallas/nn_kernel.py).
+    # Cell = 1 m: fine enough to localize tiles, coarse enough that the
+    # 1024-cell reach covers km-scale submaps.
+    key = morton_sort_key(xyz, valid, cell=1.0)
+    order = jnp.argsort(key, stable=True)
     return (xyz[order], valid[order], cov[order],
             valid.sum().astype(jnp.int32))
 

@@ -280,7 +280,11 @@ def update_correspondences(src_xyz: Array, src_valid: Array, src_cov6: Array,
         idx = jnp.where(jnp.isfinite(sqd), idx, 0)
         sqd = jnp.where(jnp.isfinite(sqd), sqd, 1e30)
     else:
-        idx, sqd = neighbors.nn1(transed, tgt_xyz, target_count)
+        # Cap the NN search at the correspondence threshold: pairs beyond it
+        # are rejected below anyway, and the cap lets the fused kernel prune
+        # every target tile farther than max_corr_dist from a query tile.
+        idx, sqd = neighbors.nn1(transed, tgt_xyz, target_count,
+                                 max_dist=max_corr_dist)
     accept = src_valid & (sqd < max_corr_dist * max_corr_dist)
 
     R = T[:3, :3]

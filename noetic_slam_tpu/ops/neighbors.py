@@ -66,7 +66,8 @@ def _pad_to_multiple(x: Array, chunk: int) -> Array:
     return x
 
 
-def nn1(query: Array, target: Array, t_count: Array | None = None, *,
+def nn1(query: Array, target: Array, t_count: Array | None = None,
+        max_dist: Array | float | None = None, *,
         query_chunk: int = 1024, target_chunk: int = 8192
         ) -> tuple[Array, Array]:
     """1-NN: for each query point, index + squared distance of the nearest
@@ -75,6 +76,9 @@ def nn1(query: Array, target: Array, t_count: Array | None = None, *,
 
     Dispatches to the fused Pallas kernel on TPU (distance + argmin without
     leaving VMEM) when shapes tile cleanly; XLA path otherwise/elsewhere.
+    ``max_dist`` (optional, may be traced) lets the kernel prune target
+    tiles beyond the radius the caller will threshold at anyway — queries
+    with no neighbor inside it return sqd >= max_dist^2 (index undefined).
     Returns (idx (Nq,) int32, sqd (Nq,) float32).
     """
     if (jax.default_backend() == "tpu" and query.shape[0] % 256 == 0
@@ -90,9 +94,11 @@ def nn1(query: Array, target: Array, t_count: Array | None = None, *,
                 t //= 2
             return t
 
-        return nn1_fused(query, target, t_count,
+        return nn1_fused(query, target, t_count, max_dist,
                          q_tile=_tile(query.shape[0], 1024),
                          t_tile=_tile(target.shape[0], 2048))
+    # XLA path: exact full search (the cap is an optimization, not part of
+    # the contract); callers threshold on sqd themselves.
     return _nn1_xla(query, target, t_count, query_chunk=query_chunk,
                     target_chunk=target_chunk)
 

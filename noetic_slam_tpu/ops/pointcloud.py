@@ -55,6 +55,39 @@ def make_scan(xyz: Array, t: Array | None = None,
     return Scan(xyz, t, valid, valid.sum().astype(jnp.int32))
 
 
+def _part1by2(x: Array) -> Array:
+    """Spread the low 10 bits of x so they occupy every 3rd bit."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton30(v: Array) -> Array:
+    """(…, 3) int32 grid coords in [0, 1024) -> 30-bit Morton (Z-order) key.
+
+    Z-order keeps spatially nearby points nearby in the sorted sequence, so
+    contiguous tiles of a Morton-sorted cloud have compact bounding boxes —
+    the property the fused NN kernel's tile pruning
+    (ops/pallas/nn_kernel.py) feeds on.
+    """
+    return (_part1by2(v[..., 0]) | (_part1by2(v[..., 1]) << 1)
+            | (_part1by2(v[..., 2]) << 2))
+
+
+def morton_sort_key(xyz: Array, valid: Array, cell: float) -> Array:
+    """Morton key of each point on a ``cell``-sized grid anchored at the
+    cloud minimum (clamped to 1024^3 reach); invalid points key to
+    INT32_MAX so a sort compacts valid points to the front."""
+    big = jnp.where(valid[:, None], xyz, jnp.inf)
+    pmin = jnp.min(big, axis=0)
+    pmin = jnp.where(jnp.isfinite(pmin), pmin, 0.0)
+    v = jnp.clip(jnp.floor((xyz - pmin) / cell).astype(jnp.int32), 0, 1023)
+    return jnp.where(valid, morton30(v), jnp.iinfo(jnp.int32).max)
+
+
 def crop_box(scan: Scan, size: float) -> Scan:
     """Drop points inside the sensor-centered box [-size, size]^3.
 
@@ -137,7 +170,11 @@ def voxel_downsample(xyz: Array, valid: Array, res: float,
     # absolute floor(p/res) grid PCL uses.
     origin = jnp.floor(pmin / res)
     v = jnp.clip((jnp.floor(xyz / res) - origin).astype(jnp.int32), 0, 1023)
-    key = (v[:, 0] + (v[:, 1] << 10) + (v[:, 2] << 20))
+    # Morton (Z-order) voxel key: injective on the 1024^3 grid, so the
+    # segment-mean grouping is identical to a linear key — but the output
+    # centroids come out spatially ordered, which gives downstream NN
+    # query tiles compact bounding boxes (tile pruning, ops/pallas).
+    key = morton30(v)
     key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
 
     order = jnp.argsort(key)
