@@ -81,13 +81,15 @@ def nn1(query: Array, target: Array, t_count: Array | None = None,
     with no neighbor inside it return sqd >= max_dist^2 (index undefined).
     Returns (idx (Nq,) int32, sqd (Nq,) float32).
     """
-    if (jax.default_backend() == "tpu" and query.shape[0] % 256 == 0
+    if (jax.default_backend() == "tpu" and query.shape[0] % 128 == 0
             and target.shape[0] % 512 == 0):
         from noetic_slam_tpu.ops.pallas.nn_kernel import nn1_fused
 
-        # Largest pow-2 tiles up to (1024, 2048): measured fastest on v5e
-        # at 8k x 64k (3.8 ms vs 7.0 ms at the 256/512 minimum — fewer
-        # Mosaic loop iterations), while still dividing every caller shape.
+        # (128, 1024) tiles: measured fastest on v5e at 8k x 64k with the
+        # best-first visit-list kernel (~1.5 ms vs ~3.7 ms for the old
+        # cond-per-tile scan at 256/512) — small query tiles give tight
+        # bounding boxes (better pruning), large target tiles amortize the
+        # per-visit loop overhead. Halve until the caller shape divides.
         def _tile(n, cap):
             t = cap
             while n % t:
@@ -95,8 +97,8 @@ def nn1(query: Array, target: Array, t_count: Array | None = None,
             return t
 
         return nn1_fused(query, target, t_count, max_dist,
-                         q_tile=_tile(query.shape[0], 1024),
-                         t_tile=_tile(target.shape[0], 2048))
+                         q_tile=_tile(query.shape[0], 128),
+                         t_tile=_tile(target.shape[0], 1024))
     # XLA path: exact full search (the cap is an optimization, not part of
     # the contract); callers threshold on sqd themselves.
     return _nn1_xla(query, target, t_count, query_chunk=query_chunk,
