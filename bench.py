@@ -20,7 +20,7 @@ import numpy as np
 
 def main():
     tiny = os.environ.get("BENCH_TINY") == "1"
-    n_scans = int(os.environ.get("BENCH_SCANS", "20" if tiny else "40"))
+    n_scans = int(os.environ.get("BENCH_SCANS", "20" if tiny else "180"))
 
     import jax
 
@@ -75,7 +75,7 @@ def main():
     # be replayed from the relay's result cache.
     import jax.numpy as jnp
 
-    K = min(int(os.environ.get("BENCH_BATCH", "8")), len(scans) // 4)
+    K = min(int(os.environ.get("BENCH_BATCH", "8")), max(1, len(scans) // 16))
 
     def run_window(lo, hi):
         # micro-batched submission (one upload + one dispatch per K scans)
@@ -86,15 +86,18 @@ def main():
         return float(jnp.sum(pipe.state.lidar_p))  # dependent fetch
 
     # Windows are whole K-multiples so every timed dispatch reuses the one
-    # compiled K-batch program (warmup covers compile + bootstrap).
-    n1 = K
-    run_window(0, K)                     # compile + bootstrap
+    # compiled K-batch program (warmup covers compile + bootstrap). Long
+    # windows (4K vs 12K scans) keep the slope well above the ~10-20 ms
+    # fetch jitter of the relay.
+    w0 = 2 * K
+    n1 = max(K, (len(scans) - w0) // 4 // K * K)
+    n2 = max(K, min(3 * n1, (len(scans) - w0 - n1) // K * K))
+    run_window(0, w0)                    # compile + bootstrap
     t0 = time.perf_counter()
-    run_window(K, 2 * K)
+    run_window(w0, w0 + n1)
     t1 = time.perf_counter()
-    run_window(2 * K, 4 * K)
+    run_window(w0 + n1, w0 + n1 + n2)
     t2 = time.perf_counter()
-    n2 = 2 * K
     n_timed = n1 + n2
     ms_per_scan = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
     scans_per_sec = 1e3 / ms_per_scan

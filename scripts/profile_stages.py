@@ -72,7 +72,13 @@ def main():
     tgt = jnp.asarray(tgt_np[np.argsort(np.asarray(key), kind="stable")])
     tgt_cov = jnp.tile(jnp.asarray([1, 0, 0, 1, 0, 1e-3], jnp.float32),
                        (N_TGT, 1))
-    src_base = jnp.asarray(make_scene(1)[:N_DS])
+    # Morton-sort the source too: production sources come out of
+    # voxel_downsample spatially ordered, and the NN kernel's tile pruning
+    # depends on compact query-tile boxes.
+    src_np = make_scene(1)[:N_DS]
+    skey = morton_sort_key(jnp.asarray(src_np), jnp.ones((N_DS,), bool), 1.0)
+    src_base = jnp.asarray(src_np[np.argsort(np.asarray(skey),
+                                             kind="stable")])
     raw_base = jnp.asarray(make_scene(2)[:N_RAW])
     valid_ds = jnp.ones((N_DS,), bool)
     valid_raw = jnp.ones((N_RAW,), bool)
