@@ -25,7 +25,7 @@ into a block-hashed voxel grid — re-designed for TPU:
   d = Σwd/Σw equals the incremental clamped-mean recursion at scan
   granularity (algebraically identical, see integrate()).
 - **Static shapes everywhere**: N points x S samples per scan; unique-block
-  capacity per scan is fixed (_SCAN_BLOCK_CAP); overflow drops (counted).
+  capacity per scan is fixed (cfg.scan_block_cap); overflow drops (counted).
 
 Geometry: voxel size ``v`` (cfg.tsdf.voxel_size), blocks of 8^3 voxels,
 block key packs block coords into int32 (11+11+10 bits -> +-819 m in x/y,
@@ -49,7 +49,6 @@ Array = jax.Array
 BLOCK = 8                      # voxels per block edge
 BLOCK_VOLUME = BLOCK ** 3
 _KEY_PAD = jnp.iinfo(jnp.int32).max
-_SCAN_BLOCK_CAP = 32768        # max unique blocks newly touched per scan
 
 
 class TsdfState(NamedTuple):
@@ -198,26 +197,35 @@ def _ray_samples(cfg: TsdfConfig, points: Array, valid: Array, origin: Array):
 
 
 def _integrate_samples(cfg: TsdfConfig, state: TsdfState, pos: Array,
-                       sdf: Array, w: Array) -> TsdfState:
+                       sdf: Array, w: Array,
+                       use_kernel: bool | None = None,
+                       interpret: bool = False) -> TsdfState:
     """Fuse one batch of ray samples.
 
     Structure (chosen from on-chip measurements; every step is a cheap
     primitive, no random gathers from the 134 MB payload):
 
     1. ONE ``lax.sort`` keyed (block_key, intra_voxel) carrying (w, w·d) —
-       the sort doubles as the hash-join the old design did with argsort
-       merge-joins (those cost ~50 ms/call from 753k-element gathers).
-    2. Unique-block extraction + sorted-directory merge on SMALL arrays
-       (≤ _SCAN_BLOCK_CAP), allocating payload slots for unseen blocks
+       every touched block's samples become one contiguous range.
+    2. A second (position) sort compacts the run-start offsets; unique
+       blocks + their sample ranges come from gathers at those offsets.
+       Sorted-directory probe (merge join) + merge allocates unseen blocks
        (carve samples allocate too — matches Voxblox's clearing behavior).
-    3. Two scatter-ADDs into the (Σwd, Σw) payload (duplicate voxel indices
-       accumulate in the sorted canonical order; XLA:TPU scatter-add is
-       deterministic).
-    4. Renormalise: clamp Σw at max_weight, rescaling Σwd — this makes the
-       sum-form payload EXACTLY reproduce the clamped-weighted-mean
-       recursion: d' = (min(W,maxW)·d + Σ_scan w·d)/(min(W,maxW) + Σ_scan w).
+    3. Payload update:
+       - TPU: ops.pallas.tsdf_kernel.block_accumulate — one grid step per
+         touched block, one-hot MXU contraction per 512-sample chunk, with
+         the max_weight renormalisation folded into the row write. Replaces
+         the two 753k-update scatter-adds (15.3 ms) + full-payload renorm
+         (0.9 ms) measured on the previous design.
+       - elsewhere: XLA scatter-adds into the sum-form payload + exact
+         full-payload clamp (reference semantics, identical results).
+
+    The sum-form payload (Σw·d, Σw with clamp-rescale) EXACTLY reproduces
+    the clamped-weighted-mean recursion:
+    d' = (min(W,maxW)·d + Σ_scan w·d)/(min(W,maxW) + Σ_scan w).
     """
     C = state.weight.shape[0]
+    S = pos.shape[0]
     vx = jnp.floor(pos / cfg.voxel_size).astype(jnp.int32)
     b = vx >> 3                       # block coords (floor divide by 8)
     intra = vx - (b << 3)             # 0..7 each axis
@@ -230,26 +238,41 @@ def _integrate_samples(cfg: TsdfConfig, state: TsdfState, pos: Array,
     gk_s, iv_s, w_s, ws_s = jax.lax.sort(
         (gk, ivox, w, w * sdf_c), num_keys=2)
 
-    # 2a. unique blocks of this batch (cand is sorted by construction).
-    A = _SCAN_BLOCK_CAP
+    # 2a. run boundaries; run-start positions compacted by a position sort
+    # (cheaper than a 753k-update scatter-set or 753k-query searchsorted —
+    # see scripts/profile_tsdf.py measurements).
+    A = cfg.scan_block_cap
     first_blk = jnp.concatenate(
         [jnp.ones((1,), bool), gk_s[1:] != gk_s[:-1]]) & (gk_s != _KEY_PAD)
     blk_rank = jnp.cumsum(first_blk.astype(jnp.int32)) - 1
-    cand_idx = jnp.where(first_blk & (blk_rank < A), blk_rank, A)
-    cand = jnp.full((A,), _KEY_PAD, jnp.int32).at[cand_idx].set(
-        gk_s, mode="drop")
-    rank_overflow = jnp.sum(first_blk & (blk_rank >= A))
+    n_runs = blk_rank[-1] + 1
+    pos_key = jnp.where(first_blk, blk_rank, jnp.int32(S))
+    _, pos_sorted = jax.lax.sort(
+        (pos_key, jnp.arange(S, dtype=jnp.int32)), num_keys=1)
+    k_take = min(A + 1, S)
+    pos_arr = jnp.full((A + 1,), S, jnp.int32).at[:k_take].set(
+        pos_sorted[:k_take])
+    pos_arr = jnp.where(jnp.arange(A + 1) < n_runs, pos_arr, S)
+    rank_overflow = jnp.maximum(n_runs - A, 0)
 
-    # 2b. directory probe (A binary searches over the sorted directory).
-    pos_d = jnp.clip(jnp.searchsorted(state.dir_keys, cand), 0, C - 1)
-    hit = (state.dir_keys[pos_d] == cand) & (cand != _KEY_PAD)
+    # 2b. candidate keys + sample ranges. pad_start = first padded sample.
+    cand_pos = pos_arr[:A]
+    cand = jnp.where(cand_pos < S, gk_s[jnp.clip(cand_pos, 0, S - 1)],
+                     _KEY_PAD)
+    pad_start = jnp.sum(gk_s != _KEY_PAD).astype(jnp.int32)
+    start = jnp.minimum(cand_pos, pad_start)
+    cnt = jnp.clip(jnp.minimum(pos_arr[1:], pad_start) - start, 0, S)
+
+    # 2c. directory probe (sort-merge join; vectorized searchsorted costs
+    # ~0.5 ms per 4k queries on TPU) + merge of new rows.
+    slot_probe = _lookup_join(state.dir_keys, state.dir_slots, cand)
+    hit = slot_probe >= 0
     is_new = (~hit) & (cand != _KEY_PAD)
     n_new = jnp.sum(is_new)
     new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     slot_new = state.num_blocks + new_rank
     ok_new = is_new & (slot_new < C)
 
-    # 2c. merge the (small) new rows into the sorted directory.
     add_keys = jnp.where(ok_new, cand, _KEY_PAD)
     add_slots = jnp.where(ok_new, slot_new, 0)
     keys2, slots2 = jax.lax.sort(
@@ -260,21 +283,52 @@ def _integrate_samples(cfg: TsdfConfig, state: TsdfState, pos: Array,
     dropped2 = (state.dropped + rank_overflow
                 + (n_new - (num2 - state.num_blocks)))
 
-    # 2d. payload slot per cand, then per sample via its block rank.
-    slot_cand = jnp.where(hit, state.dir_slots[pos_d],
+    slot_cand = jnp.where(hit, slot_probe,
                           jnp.where(ok_new, slot_new, -1))
+
+    # 3. payload update.
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from noetic_slam_tpu.ops.pallas.tsdf_kernel import block_accumulate
+
+        # Kernel ordering contract: padding entries (cnt = 0) first and
+        # mapped to the FIRST real row (so their row-group is shared with
+        # the first real step), real entries in ascending row order.
+        real = (slot_cand >= 0) & (cnt > 0)
+        sort_key = jnp.where(real, slot_cand, -1)
+        order = jnp.argsort(sort_key, stable=True)
+        rows_o = sort_key[order]
+        n_pad = jnp.sum(rows_o < 0)
+        first_real = rows_o[jnp.clip(n_pad, 0, A - 1)]
+        first_real = jnp.maximum(first_real, 0)      # all-padding case
+        rows = jnp.where(rows_o < 0, first_real, rows_o)
+        starts = jnp.where(rows_o < 0, 0, start[order])
+        cnts = jnp.where(rows_o < 0, 0, cnt[order])
+        pad_s = (-S) % 512
+        if pad_s:
+            iv_p = jnp.concatenate([iv_s, jnp.zeros((pad_s,), iv_s.dtype)])
+            w_p = jnp.concatenate([w_s, jnp.zeros((pad_s,), w_s.dtype)])
+            ws_p = jnp.concatenate([ws_s, jnp.zeros((pad_s,), ws_s.dtype)])
+        else:
+            iv_p, w_p, ws_p = iv_s, w_s, ws_s
+        weight2, wsum2 = block_accumulate(
+            state.weight, state.wsum, rows, starts, cnts, iv_p, w_p, ws_p,
+            cfg.max_weight, interpret=interpret)
+        return state._replace(dir_keys=keys2, dir_slots=slots2,
+                              num_blocks=num2, dropped=dropped2,
+                              wsum=wsum2, weight=weight2)
+
+    # XLA fallback: per-sample slot routing + scatter-adds + full clamp.
     sample_slot = jnp.where(
         (gk_s != _KEY_PAD) & (blk_rank < A),
         slot_cand[jnp.clip(blk_rank, 0, A - 1)], -1)
-
-    # 3. two scatter-adds into the sum-form payload (OOB addr -> drop).
     total = C * BLOCK_VOLUME
     addr = jnp.where(sample_slot >= 0,
                      sample_slot * BLOCK_VOLUME + iv_s, total)
     wsum_flat = state.wsum.reshape(-1).at[addr].add(ws_s, mode="drop")
     weight_flat = state.weight.reshape(-1).at[addr].add(w_s, mode="drop")
 
-    # 4. exact max_weight clamp (elementwise pass, HBM-bandwidth cheap).
     clamped = jnp.minimum(weight_flat, cfg.max_weight)
     wsum_flat = wsum_flat * (clamped / jnp.maximum(weight_flat, 1e-12))
     return state._replace(

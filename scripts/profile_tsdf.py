@@ -1,0 +1,230 @@
+"""Per-stage device profiling of TSDF integrate at production shapes.
+
+Same honest-timing discipline as profile_stages.py: chained scalar carry,
+slope between short/long windows. Run on the real chip.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from noetic_slam_tpu.config.params import TsdfConfig
+from noetic_slam_tpu.models import tsdf as T
+from noetic_slam_tpu.runtime.profiling import slope_timer
+
+N = 32768
+
+
+def chain_time(name, f, n1=3, n2=9, *args):
+    """f(c, *args): big operands passed as args (NOT closure constants —
+    captured arrays ride the compile request through the relay, HTTP 413)."""
+    f = jax.jit(f)
+
+    def run_window(k):
+        y = jnp.float32(0.0)
+        for i in range(k):
+            y = f(y + np.float32(i) * np.float32(1e-6), *args)
+        return float(y)
+
+    sec = slope_timer(run_window, n1=n1, n2=int(os.environ.get("N_LONG", n2)))
+    print(f"{name:<38} {sec * 1e3:9.3f} ms")
+    return sec
+
+
+def main():
+    print(f"backend={jax.default_backend()}")
+    cfg = TsdfConfig()
+    rng = np.random.default_rng(0)
+    # surface-like scene at realistic ranges
+    ang = rng.uniform(0, 2 * np.pi, N)
+    r = 8.0 + rng.normal(scale=0.05, size=N)
+    z = rng.uniform(-1, 3, N)
+    pts = np.stack([r * np.cos(ang), r * np.sin(ang), z], -1).astype(np.float32)
+    points = jnp.asarray(pts)
+    valid = jnp.ones((N,), bool)
+    origin = jnp.zeros(3)
+
+    # warm state: integrate a few scans so the directory is populated
+    st = T.init_tsdf(cfg)
+    for i in range(3):
+        st = T.integrate(cfg, st, points + np.float32(0.01 * i), valid, origin)
+    st = jax.device_get(st)
+    st = jax.tree.map(jnp.asarray, st)
+    print("num_blocks:", int(st.num_blocks))
+
+    pos, sdf, w = T._ray_samples(cfg, points, valid, origin)
+    S = pos.shape[0]
+    print("samples:", S)
+
+    stages = os.environ.get("STAGES", "").split(",") if os.environ.get("STAGES") else None
+
+    def want(s):
+        return stages is None or s in stages
+
+    if want("rays"):
+        def f_rays(c):
+            p, s_, w_ = T._ray_samples(cfg, points + c * 1e-5, valid, origin)
+            return c + jnp.sum(p[0]) * 1e-9 + jnp.sum(w_) * 1e-12
+        chain_time("ray_samples", f_rays)
+
+    if want("sort"):
+        def f_sort(c):
+            p = pos + c * 1e-5
+            vx = jnp.floor(p / cfg.voxel_size).astype(jnp.int32)
+            b = vx >> 3
+            intra = vx - (b << 3)
+            gk = T._block_key(b)
+            iv = intra[:, 0] + (intra[:, 1] << 3) + (intra[:, 2] << 6)
+            gk_s, iv_s, w_s, ws_s = jax.lax.sort(
+                (gk, iv, w, w * sdf), num_keys=2)
+            return c + gk_s[0] * 1e-12 + w_s[0] * 1e-9 + ws_s[-1] * 1e-9 + iv_s[0] * 1e-12
+        chain_time("payload sort 753k (2 keys + 2 vals)", f_sort)
+
+    if want("sort1"):
+        def f_sort1(c):
+            p = pos + c * 1e-5
+            vx = jnp.floor(p / cfg.voxel_size).astype(jnp.int32)
+            gk = T._block_key(vx >> 3)
+            gk_s = jax.lax.sort(gk)
+            return c + gk_s[0] * 1e-12 + gk_s[-1] * 1e-12
+        chain_time("key-only sort 753k", f_sort1)
+
+    wsum = st.wsum.reshape(-1)
+    weight = st.weight.reshape(-1)
+    total = wsum.shape[0]
+
+    if want("scatter"):
+        addr0 = jnp.asarray(
+            rng.integers(0, int(st.num_blocks) * 512, S), jnp.int32)
+
+        def f_scatter(c, wsum, weight, addr0, w):
+            a = (addr0 + ((c * 1e6).astype(jnp.int32) % 7)) % total
+            wf = wsum.at[a].add(w, mode="drop")
+            gf = weight.at[a].add(w, mode="drop")
+            return c + wf[0] * 1e-9 + gf[0] * 1e-9
+        chain_time("2x scatter-add 753k -> 33.5M", f_scatter, 3, 9,
+                   wsum, weight, addr0, w)
+
+    if want("scatter_sorted"):
+        addr1 = jnp.sort(jnp.asarray(
+            rng.integers(0, int(st.num_blocks) * 512, S), jnp.int32))
+
+        def f_scat2(c, wsum, weight, addr1, w):
+            a = addr1 + ((c * 1e6).astype(jnp.int32) % 7)
+            wf = wsum.at[a].add(w, mode="drop")
+            gf = weight.at[a].add(w, mode="drop")
+            return c + wf[0] * 1e-9 + gf[0] * 1e-9
+        chain_time("2x scatter-add sorted addrs", f_scat2, 3, 9,
+                   wsum, weight, addr1, w)
+
+    if want("scatter_uniq"):
+        # sorted + unique updates (padding gets distinct OOB addrs)
+        base = jnp.sort(jnp.asarray(
+            rng.choice(int(st.num_blocks) * 512, S // 4, replace=False),
+            jnp.int32))
+        addr2 = jnp.concatenate(
+            [base, total + jnp.arange(S - S // 4, dtype=jnp.int32)])
+
+        def f_scat3(c, wsum, weight, addr2, w):
+            a = addr2 + ((c * 1e6).astype(jnp.int32) % 2)
+            wf = wsum.at[a].add(w, mode="drop", indices_are_sorted=True,
+                                unique_indices=True)
+            gf = weight.at[a].add(w, mode="drop", indices_are_sorted=True,
+                                  unique_indices=True)
+            return c + wf[0] * 1e-9 + gf[0] * 1e-9
+        chain_time("2x scatter-add sorted+unique", f_scat3, 3, 9,
+                   wsum, weight, addr2, w)
+
+    if want("scatter_rows"):
+        # one scatter of (S, 2) rows into an interleaved (total, 2) payload
+        pay2 = jnp.stack([wsum, weight], axis=-1)
+        base = jnp.sort(jnp.asarray(
+            rng.choice(int(st.num_blocks) * 512, S // 4, replace=False),
+            jnp.int32))
+        addr3 = jnp.concatenate(
+            [base, total + jnp.arange(S - S // 4, dtype=jnp.int32)])
+        upd = jnp.stack([w, w * 0.5], axis=-1)
+
+        def f_scat4(c, pay2, addr3, upd):
+            a = addr3 + ((c * 1e6).astype(jnp.int32) % 2)
+            p = pay2.at[a].add(upd, mode="drop", indices_are_sorted=True,
+                               unique_indices=True)
+            return c + p[0, 0] * 1e-9 + p[0, 1] * 1e-9
+        chain_time("1x row scatter-add (S,2) sorted+uniq", f_scat4, 3, 9,
+                   pay2, addr3, upd)
+
+    if want("segsum"):
+        gk0 = jnp.sort(jnp.asarray(
+            rng.integers(0, 1 << 30, S), jnp.int32))
+
+        def f_seg(c, gk0, w):
+            gk2 = gk0 + ((c * 1e6).astype(jnp.int32) % 2)
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), gk2[1:] != gk2[:-1]])
+            cw = jnp.cumsum(w)
+            cwd = jnp.cumsum(w * 0.5)
+            # per-run sums read at run starts: sum = cum[next_start-1]-cum[start-1]
+            rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+            start_of = jnp.searchsorted(rank, jnp.arange(1, S + 1) - 0,
+                                        side="left")
+            return c + cw[-1] * 1e-9 + cwd[-1] * 1e-9 + rank[-1] * 1e-12 + start_of[0] * 1e-12
+        chain_time("segsum machinery (2 cumsum + searchsorted)", f_seg, 3, 9,
+                   gk0, w)
+
+    if want("compact"):
+        gk0 = jnp.sort(jnp.asarray(
+            rng.integers(0, 1 << 20, S), jnp.int32))
+        A = cfg.scan_block_cap
+
+        def f_cmp(c, gk0):
+            gk2 = gk0 + ((c * 1e6).astype(jnp.int32) % 2)
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), gk2[1:] != gk2[:-1]])
+            rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+            pos = jnp.searchsorted(rank, jnp.arange(A), side="left")
+            cand = jnp.where(pos < S, gk2[jnp.clip(pos, 0, S - 1)],
+                             T._KEY_PAD)
+            return c + cand[0] * 1e-12 + cand[-1] * 1e-12
+        chain_time("cand via searchsorted compaction", f_cmp, 3, 9, gk0)
+
+    if want("scatter_set_cand"):
+        gk0 = jnp.sort(jnp.asarray(
+            rng.integers(0, 1 << 20, S), jnp.int32))
+        A = cfg.scan_block_cap
+
+        def f_set(c, gk0):
+            gk2 = gk0 + ((c * 1e6).astype(jnp.int32) % 2)
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), gk2[1:] != gk2[:-1]])
+            rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+            cand_idx = jnp.where(first & (rank < A), rank, A)
+            cand = jnp.full((A,), T._KEY_PAD, jnp.int32).at[cand_idx].set(
+                gk2, mode="drop")
+            return c + cand[0] * 1e-12 + cand[-1] * 1e-12
+        chain_time("cand via scatter-set (current)", f_set, 3, 9, gk0)
+
+    if want("renorm"):
+        def f_renorm(c, wsum, weight):
+            wf = weight + c * 1e-9
+            cl = jnp.minimum(wf, cfg.max_weight)
+            ws2 = wsum * (cl / jnp.maximum(wf, 1e-12))
+            return c + ws2[0] * 1e-9 + cl[-1] * 1e-9
+        chain_time("renorm full payload (268MB)", f_renorm, 3, 9,
+                   wsum, weight)
+
+    if want("full"):
+        def f_full(c, st_):
+            st2 = T.integrate(cfg, st_, points + c * 1e-5, valid, origin)
+            return (c + st2.num_blocks.astype(jnp.float32) * 1e-9
+                    + st2.wsum[0, 0] * 1e-9)
+        chain_time("integrate full", f_full, 3, 9, st)
+
+
+if __name__ == "__main__":
+    main()
