@@ -204,6 +204,63 @@ def cmd_live(args) -> int:
     return 0
 
 
+def cmd_player(args) -> int:
+    """Interactive MulRan player (the reference Qt GUI's role,
+    mainwindow.cpp:6-206): keyboard pause/speed/loop/seek while the SLAM
+    pipeline consumes the stream."""
+    from noetic_slam_tpu.config.params import load_config
+    from noetic_slam_tpu.io.mulran import MulranDataset
+    from noetic_slam_tpu.io.player import InteractivePlayer
+    from noetic_slam_tpu.runtime.pipeline import NeedMoreImu
+    from noetic_slam_tpu.runtime.slam import SlamSystem
+
+    cfg = load_config(args.config)
+    ds = MulranDataset.load(args.mulran)
+    slam = SlamSystem(cfg, enable_tsdf=not args.no_tsdf)
+    pending = {"scan": None}
+
+    def on_event(stamp, kind, idx):
+        if kind == "imu":
+            slam.push_imu(ds.imu_stamps[idx], ds.imu_gyro[idx],
+                          ds.imu_accel[idx])
+            if pending["scan"] is not None:
+                try:
+                    s, i = pending["scan"]
+                    slam.process_scan(s, ds.read_scan(i)[:, :3])
+                    pending["scan"] = None
+                except NeedMoreImu:
+                    pass
+        elif kind == "scan" and slam.odometry.calibrated:
+            try:
+                slam.process_scan(stamp, ds.read_scan(idx)[:, :3])
+            except NeedMoreImu:
+                pending["scan"] = (stamp, idx)
+
+    def on_seek(stamp):
+        pending["scan"] = None
+        print(f"\nseek -> t={stamp:.3f} (odometry continues from its "
+              "current state, as with the reference player)",
+              file=sys.stderr)
+
+    player = InteractivePlayer(
+        ds, on_event, rate=args.rate, loop=args.loop, on_seek=on_seek,
+        skip_stop_region=(tuple(args.skip_region)
+                          if args.skip_region else None),
+        keyboard=True, status=True)
+    stats = player.run(max_events=args.max_events)
+    print(json.dumps(stats))
+    if args.out:
+        from noetic_slam_tpu.io.export import write_tum_trajectory
+
+        traj = slam.flush()
+        if len(traj):
+            os.makedirs(args.out, exist_ok=True)
+            write_tum_trajectory(os.path.join(args.out, "trajectory.tum"),
+                                 traj)
+            print(f"trajectory: {len(traj)} poses -> trajectory.tum")
+    return 0
+
+
 def cmd_eval(args) -> int:
     """ATE evaluation: TUM trajectory vs ground truth (TUM or MulRan
     global_pose.csv)."""
@@ -285,6 +342,21 @@ def main(argv=None) -> int:
     pl.add_argument("--config", default=None)
     pl.add_argument("--no-tsdf", action="store_true")
     pl.set_defaults(fn=cmd_live)
+
+    pp = sub.add_parser("player", help="interactive dataset player "
+                                       "(space/+/-/l/0-9/q)")
+    pp.add_argument("--mulran", required=True)
+    pp.add_argument("--rate", type=float, default=1.0,
+                    help="initial playback rate (1 = real time)")
+    pp.add_argument("--loop", action="store_true")
+    pp.add_argument("--skip-region", nargs=2, type=float, default=None,
+                    metavar=("T0", "T1"))
+    pp.add_argument("--max-events", type=int, default=None)
+    pp.add_argument("--out", default=None,
+                    help="write trajectory.tum here on exit")
+    pp.add_argument("--config", default=None)
+    pp.add_argument("--no-tsdf", action="store_true")
+    pp.set_defaults(fn=cmd_player)
 
     pe = sub.add_parser("eval", help="ATE: trajectory vs ground truth")
     pe.add_argument("trajectory", help="TUM trajectory file")

@@ -122,9 +122,12 @@ class TsdfConfig:
     max_range: float = 60.0            # integration range clip [m]
     space_carving: bool = True         # integrate free-space samples along rays
     carving_samples: int = 16          # free-space samples per ray
-    scan_block_cap: int = 8192         # max distinct blocks touched per scan
+    scan_block_cap: int = 4096         # max distinct blocks touched per scan
                                        # (per-scan work buffer; overflow
-                                       # blocks are dropped and counted)
+                                       # blocks are dropped and counted.
+                                       # Kernel grid cost ~0.24 us/entry —
+                                       # raise for long-range outdoor
+                                       # carving, lower for indoor)
 
 
 @dataclass(frozen=True)

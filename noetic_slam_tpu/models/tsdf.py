@@ -13,11 +13,13 @@ into a block-hashed voxel grid — re-designed for TPU:
   merge of the (small) directory. Payload arrays stay in fixed slots, so
   inserting blocks never moves voxel data.
 - **One payload-carrying sort per scan.** All per-sample work hangs off a
-  single ``lax.sort((block_key, intra_voxel, w, w*sdf), num_keys=2)``: the
-  sorted order yields the unique-block list (allocation), the per-sample
-  block rank (slot routing), and a canonical accumulation order. Measured
-  on-chip this replaced the original join-heavy pipeline (8 sorts + ~15
-  random 753k-gathers, 220 ms/scan) with ~25 ms/scan.
+  single ``lax.sort((block_key, intra_voxel, w, w*sdf), num_keys=1)``: the
+  sorted order yields the unique-block list (allocation) and contiguous
+  per-block sample ranges (the Pallas kernel's work decomposition).
+  Measured on-chip this replaced the original join-heavy pipeline (8 sorts
+  + ~15 random 753k-gathers, 220 ms/scan); with the Pallas accumulate
+  kernel (ops/pallas/tsdf_kernel.py) integrate costs ~10 ms/scan for the
+  full 753k-sample carve path.
 - **Sum-form payload.** Voxels store (Σw·d, Σw) rather than (mean d, w):
   fusing a scan is then two scatter-ADDs with no gather of old state. The
   reference-class clamped weighted average is recovered EXACTLY by the
@@ -234,9 +236,13 @@ def _integrate_samples(cfg: TsdfConfig, state: TsdfState, pos: Array,
     ivox = intra[:, 0] + (intra[:, 1] << 3) + (intra[:, 2] << 6)
     sdf_c = jnp.clip(sdf, -cfg.truncation, cfg.truncation)
 
-    # 1. block-major, voxel-minor sort carrying the accumulands.
+    # 1. block-major sort carrying the accumulands. Intra-block voxel order
+    # is irrelevant to both payload-update paths (the kernel's one-hot
+    # contraction and scatter-add are order-insensitive), so ivox rides as
+    # payload, not as a second key. lax.sort is a fixed comparator network:
+    # deterministic for identical inputs even with equal keys.
     gk_s, iv_s, w_s, ws_s = jax.lax.sort(
-        (gk, ivox, w, w * sdf_c), num_keys=2)
+        (gk, ivox, w, w * sdf_c), num_keys=1)
 
     # 2a. run boundaries; run-start positions compacted by a position sort
     # (cheaper than a 753k-update scatter-set or 753k-query searchsorted —

@@ -209,6 +209,69 @@ def main():
             return c + cand[0] * 1e-12 + cand[-1] * 1e-12
         chain_time("cand via scatter-set (current)", f_set, 3, 9, gk0)
 
+    if want("kernel"):
+        # Pallas block-accumulate alone, with realistic rows/starts/cnts.
+        from noetic_slam_tpu.ops.pallas.tsdf_kernel import block_accumulate
+
+        A = cfg.scan_block_cap
+        nb = int(st.num_blocks)
+        S512 = (S + 511) // 512 * 512
+        # contiguous ranges over ~nb blocks, padding first
+        n_real = min(nb, A)
+        bounds = np.linspace(0, S, n_real + 1).astype(np.int32)
+        rows_r = np.sort(rng.choice(int(st.num_blocks), n_real,
+                                    replace=False)).astype(np.int32)
+        rows = np.concatenate([np.full(A - n_real, rows_r[0], np.int32),
+                               rows_r])
+        starts = np.concatenate([np.zeros(A - n_real, np.int32),
+                                 bounds[:-1]])
+        cnts = np.concatenate([np.zeros(A - n_real, np.int32),
+                               np.diff(bounds)])
+        iv_p = jnp.asarray(rng.integers(0, 512, S512), jnp.int32)
+        w_p = jnp.asarray(rng.random(S512), jnp.float32)
+        ws_p = jnp.asarray(rng.random(S512), jnp.float32)
+        rows, starts, cnts = map(jnp.asarray, (rows, starts, cnts))
+        wsum2 = st.wsum
+        weight2 = st.weight
+
+        def f_kernel(c, weight2, wsum2, rows, starts, cnts, iv_p, w_p, ws_p):
+            w2, ws2 = block_accumulate(
+                weight2, wsum2, rows, starts, cnts, iv_p,
+                w_p + c * 1e-9, ws_p, cfg.max_weight)
+            return c + w2[0, 0] * 1e-9 + ws2[0, 0] * 1e-9
+        chain_time(f"block_accumulate A={A} real={n_real}", f_kernel, 3, 9,
+                   weight2, wsum2, rows, starts, cnts, iv_p, w_p, ws_p)
+
+    if want("prepass"):
+        def f_pre(c, st_):
+            # everything in _integrate_samples up to the kernel call:
+            # approximate by running with use_kernel=False minus scatters is
+            # hard; instead run the two sorts + join pieces directly.
+            p = pos + c * 1e-5
+            vx = jnp.floor(p / cfg.voxel_size).astype(jnp.int32)
+            b = vx >> 3
+            intra = vx - (b << 3)
+            gk = T._block_key(b)
+            gk = jnp.where(w > 0.0, gk, T._KEY_PAD)
+            iv = intra[:, 0] + (intra[:, 1] << 3) + (intra[:, 2] << 6)
+            gk_s, iv_s, w_s, ws_s = jax.lax.sort(
+                (gk, iv, w, w * sdf), num_keys=2)
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), gk_s[1:] != gk_s[:-1]]) & (gk_s != T._KEY_PAD)
+            rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+            Sn = gk_s.shape[0]
+            pos_key = jnp.where(first, rank, jnp.int32(Sn))
+            _, pos_sorted = jax.lax.sort(
+                (pos_key, jnp.arange(Sn, dtype=jnp.int32)), num_keys=1)
+            A = cfg.scan_block_cap
+            cand_pos = pos_sorted[:A]
+            cand = jnp.where(cand_pos < Sn,
+                             gk_s[jnp.clip(cand_pos, 0, Sn - 1)], T._KEY_PAD)
+            slot = T._lookup_join(st_.dir_keys, st_.dir_slots, cand)
+            return (c + slot[0] * 1e-12 + iv_s[0] * 1e-12 + w_s[0] * 1e-9
+                    + ws_s[-1] * 1e-9 + cand[0] * 1e-12)
+        chain_time("pre-pass (2 sorts + join)", f_pre, 3, 9, st)
+
     if want("renorm"):
         def f_renorm(c, wsum, weight):
             wf = weight + c * 1e-9
