@@ -120,7 +120,11 @@ def main():
             st = tsdf_mod.integrate(tcfg, st, pts,
                                     jnp.ones((pts.shape[0],), bool),
                                     jnp.zeros(3))
-        return st, float(jnp.sum(st.num_blocks))
+        # close the window with a PAYLOAD-dependent fetch: num_blocks alone
+        # depends only on the directory ops, not the voxel update, so a
+        # deferred-execution transport could return it before the payload
+        # kernel ran.
+        return st, float(st.num_blocks) + float(st.weight[0, 0])
 
     tstate = tsdf_mod.init_tsdf(tcfg)
     tstate, _ = run_tsdf(tstate, 0, 2)

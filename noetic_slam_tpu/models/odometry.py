@@ -118,11 +118,14 @@ class OdomState(NamedTuple):
 class StepInput(NamedTuple):
     """One scan + its IMU context, packed into three host->device transfers
     (each small transfer through the device tunnel has multi-ms fixed cost,
-    so leaves are minimized).
+    so leaves are minimized — AND upload bandwidth through the tunnel is
+    ~14 ms/MB, so bytes are minimized too: validity is not shipped but
+    derived on device from the 1e6 padding sentinel; non-finite rows fail
+    the same range test).
 
     times are seconds relative to THIS scan's header stamp."""
 
-    points: Array       # (N, 5): x, y, z, t, valid
+    points: Array       # (N, 4): x, y, z, t  (invalid/padded rows: 1e6)
     imu: Array          # (M, 7): stamp, wx, wy, wz, fx, fy, fz (raw)
     scalars: Array      # (4,): header_delta (header_now - header_prev),
                         #       deskew flag, imu_count, pad
@@ -137,7 +140,8 @@ class StepInput(NamedTuple):
 
     @property
     def valid(self):
-        return self.points[:, 4] > 0.5
+        # in-range AND finite (NaN fails every comparison)
+        return jnp.all(jnp.abs(self.points[:, :3]) < 1e5, axis=-1)
 
     @property
     def imu_stamps(self):

@@ -184,11 +184,13 @@ class OdometryPipeline:
         if not self.imu_covers(sweep_end_abs):
             raise NeedMoreImu(f"IMU must cover {sweep_end_abs:.6f}")
 
-        points = np.full((n, 5), 1e6, np.float32)
-        points[:m, :3] = xyz
+        # (N, 4) wire format: xyz + rel-time; validity is derived on device
+        # (|xyz| < 1e5) so no validity channel rides the upload. Non-finite
+        # input rows are mapped to the sentinel here (NaN would otherwise
+        # poison reductions before masking).
+        points = np.full((n, 4), 1e6, np.float32)
+        points[:m, :3] = np.where(np.isfinite(xyz), xyz, 1e6)
         points[:m, 3] = pt
-        points[:m, 4] = np.all(np.isfinite(xyz), axis=-1)
-        points[m:, 4] = 0.0
 
         # IMU window rebased to this header (float64 subtraction on host).
         M = cap.max_imu_window
