@@ -48,6 +48,9 @@ class PreprocConfig:
     crop_size: float = 1.0             # crop-box half-extent around sensor [m]
     voxelize: bool = True
     voxel_res: float = 0.25            # voxel-grid leaf size [m]
+    quantized_wire: bool = True        # int16+f16 host->device scan format
+                                       # (adaptive scale, <=2 mm worst-case;
+                                       # False -> exact float32)
 
 
 @dataclass(frozen=True)

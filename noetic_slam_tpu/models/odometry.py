@@ -115,31 +115,52 @@ class OdomState(NamedTuple):
     total_steps: Array  # () int32 step invocations (incl. skipped)
 
 
+_QSENT = 32767          # int16 sentinel marking invalid/padded rows
+_QMAX = 32766.0         # quantization range (+-)
+
+
 class StepInput(NamedTuple):
-    """One scan + its IMU context, packed into three host->device transfers
+    """One scan + its IMU context, packed into few host->device transfers
     (each small transfer through the device tunnel has multi-ms fixed cost,
     so leaves are minimized — AND upload bandwidth through the tunnel is
-    ~14 ms/MB, so bytes are minimized too: validity is not shipped but
-    derived on device from the 1e6 padding sentinel; non-finite rows fail
-    the same range test).
+    ~14 ms/MB, so bytes are minimized too).
+
+    Two wire formats, distinguished by dtype at trace time:
+    - float32 ``points`` (N, 4) = x, y, z, t; invalid/padded rows at the
+      1e6 sentinel (validity derived on device; NaN fails the range test).
+    - QUANTIZED (the pipeline default): int16 ``points`` (N, 3) holding
+      round((xyz - offset) / scale) with per-scan adaptive scale/offset in
+      ``scalars[3:7]`` (worst case ~2 mm at 130 m range — an order below
+      LiDAR noise), plus float16 per-point times ``pt``; invalid rows at
+      the _QSENT sentinel. 8 bytes/point instead of 20.
 
     times are seconds relative to THIS scan's header stamp."""
 
-    points: Array       # (N, 4): x, y, z, t  (invalid/padded rows: 1e6)
+    points: Array       # (N, 4) f32 [x,y,z,t]  OR  (N, 3) int16 quantized
     imu: Array          # (M, 7): stamp, wx, wy, wz, fx, fy, fz (raw)
-    scalars: Array      # (4,): header_delta (header_now - header_prev),
-                        #       deskew flag, imu_count, pad
+    scalars: Array      # (4,) or (8,): header_delta, deskew flag,
+                        #   imu_count, [scale, off_x, off_y, off_z, pad]
+    pt: Array | None = None   # (N,) f16 rel times (quantized wire only)
 
     @property
     def xyz(self):
+        if self.points.dtype == jnp.int16:
+            scale = self.scalars[3]
+            off = self.scalars[4:7]
+            dec = self.points.astype(jnp.float32) * scale + off
+            return jnp.where(self.valid[:, None], dec, 1e6)
         return self.points[:, :3]
 
     @property
     def t(self):
+        if self.pt is not None:
+            return self.pt.astype(jnp.float32)
         return self.points[:, 3]
 
     @property
     def valid(self):
+        if self.points.dtype == jnp.int16:
+            return self.points[:, 0] != _QSENT
         # in-range AND finite (NaN fails every comparison)
         return jnp.all(jnp.abs(self.points[:, :3]) < 1e5, axis=-1)
 

@@ -184,13 +184,35 @@ class OdometryPipeline:
         if not self.imu_covers(sweep_end_abs):
             raise NeedMoreImu(f"IMU must cover {sweep_end_abs:.6f}")
 
-        # (N, 4) wire format: xyz + rel-time; validity is derived on device
-        # (|xyz| < 1e5) so no validity channel rides the upload. Non-finite
-        # input rows are mapped to the sentinel here (NaN would otherwise
-        # poison reductions before masking).
-        points = np.full((n, 4), 1e6, np.float32)
-        points[:m, :3] = np.where(np.isfinite(xyz), xyz, 1e6)
-        points[:m, 3] = pt
+        # Wire format (upload bandwidth ~14 ms/MB through the tunnel, and it
+        # sits on the critical path — see StepInput docstring):
+        # - quantized (default): int16 xyz at adaptive per-scan scale
+        #   (worst case ~2 mm at 130 m) + f16 rel-times, 8 B/point;
+        # - exact: f32 (N, 4) xyz+t, 16 B/point.
+        # Validity never ships: sentinel rows are detected on device.
+        # Non-finite rows are mapped to the sentinel here (NaN would
+        # otherwise poison reductions before masking).
+        xyz_f = np.where(np.isfinite(xyz), xyz, 1e6).astype(np.float32)
+        row_ok = np.all(np.abs(xyz_f) < 1e5, axis=-1)
+        if self.cfg.preproc.quantized_wire:
+            amax = float(np.abs(np.where(row_ok[:, None], xyz_f, 0.0)).max()
+                         ) if m else 0.0
+            scale = max(amax / 32766.0, 1e-4)
+            q = np.full((n, 3), 32767, np.int16)
+            q[:m] = np.clip(np.round(xyz_f / scale), -32766, 32766
+                            ).astype(np.int16)
+            q[:m][~row_ok] = 32767
+            pt16 = np.zeros((n,), np.float16)
+            pt16[:m] = pt
+            points = q
+            pts_t = pt16
+            scalars_extra = [scale, 0.0, 0.0, 0.0]
+        else:
+            points = np.full((n, 4), 1e6, np.float32)
+            points[:m, :3] = xyz_f
+            points[:m, 3] = pt
+            pts_t = None
+            scalars_extra = []
 
         # IMU window rebased to this header (float64 subtraction on host).
         M = cap.max_imu_window
@@ -207,9 +229,12 @@ class OdometryPipeline:
         imu[:k, 1:4] = self._imu_ang[sl]
         imu[:k, 4:7] = self._imu_acc[sl]
 
-        scalars = np.array([header_delta, 1.0 if deskew else 0.0, k, 0.0],
-                           np.float32)
-        return points, imu, scalars
+        head = [header_delta, 1.0 if deskew else 0.0, float(k)]
+        if scalars_extra:                     # quantized: + scale, offset(3)
+            scalars = np.array(head + scalars_extra + [0.0], np.float32)
+        else:
+            scalars = np.array(head + [0.0], np.float32)
+        return points, imu, scalars, pts_t
 
     def _submit(self, inp: StepInput):
         if self.with_tsdf:
@@ -246,11 +271,12 @@ class OdometryPipeline:
             self.first_scan_stamp = header_stamp
         header_delta = (0.0 if self.prev_header is None
                         else header_stamp - self.prev_header)
-        points, imu, scalars = self._pack_scan(header_stamp, xyz,
-                                               point_times, header_delta)
-        out = self._submit(StepInput(points=jnp.asarray(points),
-                                     imu=jnp.asarray(imu),
-                                     scalars=jnp.asarray(scalars)))
+        points, imu, scalars, pts_t = self._pack_scan(
+            header_stamp, xyz, point_times, header_delta)
+        out = self._submit(StepInput(
+            points=jnp.asarray(points), imu=jnp.asarray(imu),
+            scalars=jnp.asarray(scalars),
+            pt=None if pts_t is None else jnp.asarray(pts_t)))
         self._post_submit(header_stamp, out)
         return out
 
@@ -290,20 +316,23 @@ class OdometryPipeline:
         if self.first_scan_stamp is None:
             self.first_scan_stamp = batch[0][0]
 
-        pts_l, imu_l, sc_l = [], [], []
+        pts_l, imu_l, sc_l, t_l = [], [], [], []
         prev = self.prev_header
         for header_stamp, xyz, point_times in batch:
             header_delta = 0.0 if prev is None else header_stamp - prev
-            p, i, s = self._pack_scan(header_stamp, xyz, point_times,
-                                      header_delta)
+            p, i, s, pt16 = self._pack_scan(header_stamp, xyz, point_times,
+                                            header_delta)
             pts_l.append(p)
             imu_l.append(i)
             sc_l.append(s)
+            t_l.append(pt16)
             prev = header_stamp
 
-        inputs = StepInput(points=jnp.asarray(np.stack(pts_l)),
-                           imu=jnp.asarray(np.stack(imu_l)),
-                           scalars=jnp.asarray(np.stack(sc_l)))
+        inputs = StepInput(
+            points=jnp.asarray(np.stack(pts_l)),
+            imu=jnp.asarray(np.stack(imu_l)),
+            scalars=jnp.asarray(np.stack(sc_l)),
+            pt=(None if t_l[0] is None else jnp.asarray(np.stack(t_l))))
         run = self._multi_step(len(batch))
         if self.with_tsdf:
             (self.state, self.tsdf_state), outs = run(

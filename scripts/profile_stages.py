@@ -169,6 +169,34 @@ def main():
             return c + prep.scan_stamp * 1e-6 + jnp.sum(prep.xyz[0]) * 1e-9
         chain_time("crop+prepare_scan 32768", f_prep, 0.0)
 
+    if want("deskew"):
+        from noetic_slam_tpu.ops import deskew as deskew_ops
+        from noetic_slam_tpu.ops import imu as imu_ops2
+
+        rng = np.random.default_rng(0)
+        m = 128
+        imu_arr = np.zeros((m, 7), np.float32)
+        imu_arr[:, 0] = np.arange(m) * 0.01 - 0.12
+        imu_arr[:, 6] = 9.80665
+        imu_j = jnp.asarray(imu_arr)
+        tq = jnp.asarray(np.sort(rng.random(2048).astype(np.float32)) * 0.1)
+
+        win = imu_ops2.ImuWindow(
+            stamps=imu_j[:, 0], ang_vel=imu_j[:, 1:4],
+            lin_accel=imu_j[:, 4:7], count=jnp.int32(m))
+
+        def f_imu(c):
+            w2 = win._replace(stamps=win.stamps + c * 1e-9)
+            q, p, ok = imu_ops2.integrate_imu(
+                w2, jnp.float32(0.0), jnp.array([1.0, 0, 0, 0]),
+                jnp.zeros(3), jnp.zeros(3), tq)
+            return (c + jnp.sum(p[0]) * 1e-9 + jnp.sum(q[-1]) * 1e-9
+                    + ok * 1e-9)
+        try:
+            chain_time("integrate_imu 128 -> 2048 frames", f_imu, 3, 9)
+        except Exception as e:
+            print("integrate_imu stage skipped:", type(e).__name__, e)
+
     if want("step"):
         from noetic_slam_tpu.runtime.pipeline import OdometryPipeline
         from noetic_slam_tpu.utils import synthetic
