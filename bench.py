@@ -123,8 +123,10 @@ def main():
         # close the window with a PAYLOAD-dependent fetch: num_blocks alone
         # depends only on the directory ops, not the voxel update, so a
         # deferred-execution transport could return it before the payload
-        # kernel ran.
-        return st, float(st.num_blocks) + float(st.weight[0, 0])
+        # kernel ran. Reduce over the WHOLE payload — a single element can
+        # go stale (stop changing between windows) and be served from the
+        # relay's result cache, collapsing the slope.
+        return st, float(jnp.sum(st.weight[:, 0]))
 
     tstate = tsdf_mod.init_tsdf(tcfg)
     tstate, _ = run_tsdf(tstate, 0, 2)

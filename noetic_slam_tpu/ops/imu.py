@@ -4,8 +4,13 @@ Re-derivation of the reference's hot IMU path
 (``integrateImu`` / ``integrateImuInternal``, reference
 src/dlio/src/dlio/odom.cc:1056-1228) as a statically-shaped JAX computation:
 
-- the per-sample sequential loop becomes a ``lax.scan`` over a fixed-size
-  IMU window, producing the state (q, p, v, a) at every sample;
+- the per-sample sequential loop becomes a PARALLEL PREFIX computation:
+  per-interval delta quaternions compose by an associative Hamilton
+  product (``lax.associative_scan``, log-depth on the VPU instead of a
+  128-step serial ``lax.scan``), after which world accelerations are a
+  batched rotation and velocity/position are cumulative sums — the exact
+  same recurrence, reordered (a ``lax.scan`` reference implementation is
+  kept for parity tests);
 - pose queries at arbitrary sorted timestamps become a vmapped closed-form
   interpolation over gathered bracketing intervals (instead of the reference's
   interleaved two-pointer walk).
@@ -40,7 +45,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from noetic_slam_tpu.utils.geometry import quat_normalize, quat_rotate, quat_step
+from noetic_slam_tpu.utils.geometry import (
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    quat_step,
+)
 
 Array = jax.Array
 
@@ -120,12 +130,65 @@ class _IntervalData(NamedTuple):
     t0: Array      # (M-1,) stamp of s_i
 
 
+def quat_prefix(q0: Array, omegas: Array, dts: Array) -> Array:
+    """Orientations q_k at every sample from first-order quaternion steps.
+
+    q_{k+1} = normalize(q_k + 0.5*dt_k * q_k ⊗ (0, omega_k))
+            = normalize(q_k ⊗ (1, 0.5*dt_k*omega_k))
+
+    The per-interval delta quaternions compose by the (associative)
+    Hamilton product, so the K-step serial recurrence becomes a log-depth
+    ``lax.associative_scan``; normalization commutes with the product
+    (|a ⊗ b| = |a||b|) and is applied once at the end. TPU: ~15 us/step
+    of serial lax.scan overhead -> the whole prefix in ~0.1 ms.
+
+    Args: q0 (4,), omegas (K, 3), dts (K,). Returns (K+1, 4) normalized.
+    """
+    half = 0.5 * dts[:, None] * omegas
+    deltas = jnp.concatenate([jnp.ones_like(half[:, :1]), half], axis=-1)
+    prods = jax.lax.associative_scan(quat_mul, deltas)       # (K, 4)
+    q_all = jnp.concatenate([q0[None], quat_mul(q0[None], prods)], axis=0)
+    return quat_normalize(q_all)
+
+
 def _scan_intervals(window: ImuWindow, q0: Array, p0: Array, v0: Array,
                     gravity: float) -> _IntervalData:
-    """Sequential propagation over IMU samples (odom.cc:1157-1222)."""
+    """Propagation over IMU samples (odom.cc:1157-1222), parallel form.
+
+    Identical recurrence to ``_scan_intervals_seq`` reordered into
+    (1) orientation prefix products, (2) batched accel rotation,
+    (3) velocity/position cumulative sums.
+    """
     g = jnp.asarray([0.0, 0.0, gravity], dtype=p0.dtype)
     stamps, w, f = window.stamps, window.ang_vel, window.lin_accel
-    m = stamps.shape[0]
+    dts = jnp.maximum(stamps[1:] - stamps[:-1], 1e-8)
+
+    omega = w[:-1] + 0.5 * (w[1:] - w[:-1])
+    q_all = quat_prefix(q0, omega, dts)                       # (M, 4)
+    a_all = quat_rotate(q_all, f) - g                         # (M, 3)
+
+    a0, a1 = a_all[:-1], a_all[1:]
+    jerk = (a1 - a0) / dts[:, None]
+    dv = 0.5 * (a0 + a1) * dts[:, None]
+    v_all = v0[None] + jnp.concatenate(
+        [jnp.zeros((1, 3), dv.dtype), jnp.cumsum(dv, axis=0)], axis=0)
+    dp = (v_all[:-1] * dts[:, None] + 0.5 * a0 * (dts ** 2)[:, None]
+          + (1.0 / 6.0) * jerk * (dts ** 3)[:, None])
+    p_all = p0[None] + jnp.concatenate(
+        [jnp.zeros((1, 3), dp.dtype), jnp.cumsum(dp, axis=0)], axis=0)
+
+    alpha = (w[1:] - w[:-1]) / dts[:, None]
+    return _IntervalData(q_end=q_all[1:], p0=p_all[:-1], v0=v_all[:-1],
+                         a0=a0, jerk=jerk, alpha=alpha, w0=w[:-1],
+                         t0=stamps[:-1])
+
+
+def _scan_intervals_seq(window: ImuWindow, q0: Array, p0: Array, v0: Array,
+                        gravity: float) -> _IntervalData:
+    """Sequential reference implementation (lax.scan) — kept for parity
+    tests of the parallel-prefix form above."""
+    g = jnp.asarray([0.0, 0.0, gravity], dtype=p0.dtype)
+    stamps, w, f = window.stamps, window.ang_vel, window.lin_accel
     a_first = quat_rotate(q0, f[0]) - g
 
     dts = jnp.maximum(stamps[1:] - stamps[:-1], 1e-8)
@@ -220,19 +283,18 @@ def propagate_state_batch(q: Array, p: Array, v: Array, window: ImuWindow,
     """
     g = jnp.asarray([0.0, 0.0, gravity], dtype=p.dtype)
     stamps, wv, f = window.stamps, window.ang_vel, window.lin_accel
-    dts = jnp.maximum(stamps[1:] - stamps[:-1], 0.0)
-
-    def step(carry, xs):
-        qc, pc, vc = carry
-        k, dt = xs
-        valid = k < count - 1
-        dt = jnp.where(valid, dt, 0.0)
-        acc_w = quat_rotate(qc, f[k + 1]) - g  # world accel of sample k+1
-        p_new = pc + vc * dt + 0.5 * dt * dt * acc_w
-        v_new = vc + acc_w * dt
-        q_new = quat_step(qc, wv[k + 1], dt)
-        return (q_new, p_new, v_new), None
-
     ks = jnp.arange(stamps.shape[0] - 1, dtype=jnp.int32)
-    (qf, pf, vf), _ = jax.lax.scan(step, (q, p, v), (ks, dts))
-    return qf, pf, vf
+    dts = jnp.maximum(stamps[1:] - stamps[:-1], 0.0)
+    dts = jnp.where(ks < count - 1, dts, 0.0)   # masked steps are no-ops
+
+    # Parallel-prefix form of the serial recurrence (see quat_prefix):
+    # orientations first, then accelerations batched, then v/p cumsums.
+    q_all = quat_prefix(q, wv[1:], dts)                       # (M, 4)
+    acc_w = quat_rotate(q_all[:-1], f[1:]) - g                # (M-1, 3)
+    dv = acc_w * dts[:, None]
+    v_pre = v[None] + jnp.concatenate(
+        [jnp.zeros((1, 3), dv.dtype), jnp.cumsum(dv[:-1], axis=0)], axis=0)
+    pf = p + jnp.sum(v_pre * dts[:, None] + 0.5 * (dts ** 2)[:, None] * acc_w,
+                     axis=0)
+    vf = v + jnp.sum(dv, axis=0)
+    return q_all[-1], pf, vf

@@ -192,10 +192,62 @@ def main():
                 jnp.zeros(3), jnp.zeros(3), tq)
             return (c + jnp.sum(p[0]) * 1e-9 + jnp.sum(q[-1]) * 1e-9
                     + ok * 1e-9)
-        try:
-            chain_time("integrate_imu 128 -> 2048 frames", f_imu, 3, 9)
-        except Exception as e:
-            print("integrate_imu stage skipped:", type(e).__name__, e)
+        chain_time("integrate_imu 128 -> 2048 frames", f_imu, 0.0)
+
+        def f_deskew(c):
+            t = (jnp.linspace(0, 0.1, N_RAW) + c * 1e-9).astype(jnp.float32)
+            scan = Scan(raw_base + c * 1e-4, t, valid_raw, jnp.int32(N_RAW))
+            prep = prepare_scan(scan, 2048)
+            w2 = win._replace(stamps=win.stamps + c * 1e-9)
+            q, p, ok = imu_ops2.integrate_imu(
+                w2, jnp.float32(0.0), jnp.array([1.0, 0, 0, 0]),
+                jnp.zeros(3), jnp.zeros(3), prep.unique_t)
+            out = deskew_ops.deskew_points(prep, q, p, jnp.eye(3),
+                                           jnp.zeros(3))
+            return c + jnp.sum(out[0]) * 1e-9 + ok * 1e-9
+        chain_time("prepare+integrate+deskew 32768", f_deskew, 0.0)
+
+    if want("prop"):
+        from noetic_slam_tpu.ops import imu as imu_ops3
+
+        m = 128
+        st_np = np.zeros((m, 7), np.float32)
+        st_np[:, 0] = np.arange(m) * 0.01
+        st_np[:, 6] = 9.80665
+        stj = jnp.asarray(st_np)
+        pwin = imu_ops3.ImuWindow(
+            stamps=stj[:, 0], ang_vel=stj[:, 1:4], lin_accel=stj[:, 4:7],
+            count=jnp.int32(m))
+
+        def f_prop(c):
+            w2 = pwin._replace(stamps=pwin.stamps + c * 1e-9)
+            q, p, v = imu_ops3.propagate_state_batch(
+                jnp.array([1.0, 0, 0, 0]), jnp.zeros(3), jnp.zeros(3),
+                w2, w2.count, 9.80665)
+            return c + jnp.sum(p) * 1e-9 + jnp.sum(q) * 1e-9
+        chain_time("propagate_state_batch 128", f_prop, 0.0)
+
+    if want("submap"):
+        from noetic_slam_tpu.models import odometry as odom_mod
+
+        c3 = DlioConfig(capacity=CapacityConfig(
+            max_points=N_RAW, max_ds_points=N_DS, max_deskew_frames=2048,
+            max_imu_window=128, max_keyframes=128, max_submap_kf=8))
+        st0 = odom_mod.init_state(c3)
+        rngs = np.random.default_rng(3)
+        kf_xyz = rngs.uniform(-30, 30, (128, N_DS, 3)).astype(np.float32)
+        st0 = st0._replace(
+            kf_pos=jnp.asarray(rngs.uniform(-20, 20, (128, 3)), jnp.float32),
+            kf_xyz=jnp.asarray(kf_xyz),
+            kf_valid=jnp.ones((128, N_DS), bool),
+            kf_count=jnp.int32(64))
+
+        def f_submap(c):
+            st = st0._replace(p=jnp.stack([c * 1e-4, c * 0, c * 0]))
+            mask = odom_mod.select_submap_keyframes(c3, st)
+            xyz, valid, cov, cnt = odom_mod.gather_submap(c3, st, mask)
+            return c + jnp.sum(xyz[0]) * 1e-9 + cnt * 1e-9
+        chain_time("select+gather_submap 8x8192", f_submap, 0.0)
 
     if want("step"):
         from noetic_slam_tpu.runtime.pipeline import OdometryPipeline
