@@ -31,14 +31,16 @@ def main():
     if tiny:
         cap = CapacityConfig(
             max_points=2048, max_ds_points=1024, max_deskew_frames=512,
-            max_imu_window=64, max_keyframes=32, max_submap_kf=4)
+            max_imu_window=64, max_keyframes=32, max_submap_kf=8)
         n_pts = 2048
     else:
-        # Production-ish capacities: OS1-64-class scans (~65k raw points,
-        # ~8k after 0.25 m voxel downsample), 10-keyframe submaps.
+        # Production capacities: OS1-64-class scans (~65k raw points,
+        # ~8k after 0.25 m voxel downsample). max_submap_kf=32 holds the
+        # FULL reference-equivalent selection (knn+kcv+kcc = 30 distinct
+        # keyframes max); bench asserts zero submap overflow below.
         cap = CapacityConfig(
             max_points=32768, max_ds_points=8192, max_deskew_frames=2048,
-            max_imu_window=128, max_keyframes=128, max_submap_kf=8)
+            max_imu_window=128, max_keyframes=128, max_submap_kf=32)
         n_pts = 32768
     # Fixed 0.5 m keyframe spacing: the submap reaches its full
     # max_submap_kf occupancy within the warmup so the steady state being
@@ -142,10 +144,16 @@ def main():
         "value": round(scans_per_sec, 3),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 10.0, 3),
+        "extras": {
+            "tsdf_integrations_per_sec": round(tsdf_per_sec, 1),
+            "ate_rmse_m_synthetic": round(ate, 4),
+            "submap_overflow": pipe.submap_overflow,
+        },
     }
     print(json.dumps(result))
     print(f"# ate_rmse_m={ate:.4f} n_timed={n_timed} "
           f"keyframes={int(pipe.state.kf_count)} "
+          f"submap_overflow={pipe.submap_overflow} "
           f"tsdf_integrations_per_sec={tsdf_per_sec:.1f} "
           f"backend={jax.default_backend()}", file=sys.stderr)
 

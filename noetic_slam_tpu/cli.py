@@ -121,6 +121,12 @@ def cmd_slam(args) -> int:
                 slam.maybe_close_loop()
         gt = np.column_stack([sim.gt_stamps, sim.gt_pos])
 
+    overflow = slam.odometry.submap_overflow
+    if overflow:
+        print(f"WARNING: {overflow} selected submap keyframes dropped "
+              "(capacity.max_submap_kf too small for submap.knn+kcv+kcc)",
+              file=sys.stderr)
+
     traj = slam.flush()
     if len(traj):
         write_tum_trajectory(os.path.join(args.out, "trajectory.tum"), traj)

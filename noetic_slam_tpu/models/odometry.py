@@ -91,6 +91,8 @@ class OdomState(NamedTuple):
     submap_cov: Array   # (S, 6)
     submap_mask: Array  # (K,) bool — current keyframe selection
     submap_count: Array # () int32 — valid points (compacted to the front)
+    submap_overflow: Array  # () int32 — cumulative selected-but-dropped
+                            # keyframes (capacity max_submap_kf exceeded)
     # Grid-NN index over the submap (ops.gridnn), rebuilt on submap swap.
     grid_xyz: Array     # (S, 3) submap points sorted by cell key
     grid_keys: Array    # (S,) sorted cell keys
@@ -233,6 +235,7 @@ def init_state(cfg: DlioConfig, q0=None, ba0=None, bg0=None) -> OdomState:
         submap_cov=jnp.zeros((S, 6), f32),
         submap_mask=jnp.zeros((K,), bool),
         submap_count=jnp.int32(0),
+        submap_overflow=jnp.int32(0),
         grid_xyz=jnp.full((S, 3), SENTINEL, f32),
         grid_keys=jnp.full((S,), jnp.iinfo(jnp.int32).max, jnp.int32),
         grid_order=jnp.zeros((S,), jnp.int32),
@@ -406,50 +409,117 @@ def _support_directions(n: int = 42):
     return np.asarray(d, "float32")
 
 
-# numpy constant: safe to close over inside jit traces.
+# numpy constants: safe to close over inside jit traces. Convex support
+# uses a dense set (one (K,3)x(3,D) matmul — cheap); the alpha-ball test
+# uses the coarse set (its cost is a (K*D, K) distance matrix).
 _SUPPORT_DIRS = _support_directions()
+_CONVEX_DIRS = _support_directions(256)
 
 
-def select_submap_keyframes(cfg: DlioConfig, state: OdomState) -> Array:
-    """Keyframe selection mask: kNN by distance + boundary-keyframe kNN.
+def convex_hull_mask(kf_pos: Array, active: Array,
+                     dirs: Array = None) -> Array:
+    """Approximate convex-hull-vertex membership by *support points*: every
+    convex-hull vertex is the argmax of some direction; a fixed
+    Fibonacci-sphere direction set recovers the vertices that matter at
+    DLIO's keyframe counts (golden-tested against scipy.spatial.ConvexHull
+    in tests/test_submap_hulls.py). Matches computeConvexHull
+    (odom.cc:1439-1477: pcl::ConvexHull vertex indices)."""
+    dirs = _CONVEX_DIRS if dirs is None else dirs
+    # Data-adaptive directions: the centroid->keyframe ray per keyframe. A
+    # pointy hull vertex missed by every fixed direction (tiny support
+    # cone, e.g. near-collinear trajectories) is usually the argmax along
+    # its own ray; any argmax is still a true hull vertex.
+    n_act = jnp.maximum(active.sum(), 1)
+    centroid = jnp.sum(jnp.where(active[:, None], kf_pos, 0.0), 0) / n_act
+    rays = kf_pos - centroid[None, :]
+    rays = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True),
+                              1e-9)
+    all_dirs = jnp.concatenate([jnp.asarray(dirs), rays], axis=0)
+    proj = kf_pos @ all_dirs.T                      # (K, D + K)
+    proj = jnp.where(active[:, None], proj, -jnp.inf)
+    hull_idx = jnp.argmax(proj, axis=0)             # (D + K,)
+    return jnp.zeros(kf_pos.shape[:1], bool).at[hull_idx].set(True) & active
 
-    The reference unions distance-kNN with kNNs over the convex and concave
-    hulls of keyframe positions (computeConvexHull/computeConcaveHull,
-    odom.cc:1443-1515). Exact incremental hulls are host-sequential and
-    TPU-hostile; boundary membership is approximated by *support points*
-    over a fixed direction set (every convex-hull vertex is the argmax of
-    some direction; 42 Fibonacci-sphere directions recover the vertices that
-    matter at DLIO's keyframe counts). The concave-hull set is approximated
-    by the same support set — its role (retaining boundary keyframes near
-    the vehicle) is covered because supports are unioned with distance-kNN.
+
+def alpha_boundary_mask(kf_pos: Array, active: Array, alpha: Array,
+                        dirs: Array = None) -> Array:
+    """Alpha-shape boundary membership, by its geometric definition: point i
+    is on the boundary iff some OPEN ball of radius ``alpha`` touching i is
+    empty of other points. Ball centers are discretized as p_i + alpha*d
+    over the Fibonacci direction set; one (K*D, K) squared-distance matmul
+    decides emptiness (MXU-shaped, no host hull library).
+
+    This is the reference's concave hull: pcl::ConcaveHull(alpha =
+    keyframe_thresh_dist, adaptive — odom.cc:86,1622, computeConcaveHull
+    odom.cc:1478-1515). Golden-tested against a Delaunay-circumradius alpha
+    shape in tests/test_submap_hulls.py.
+    """
+    dirs = _SUPPORT_DIRS if dirs is None else dirs
+    K, D = kf_pos.shape[0], dirs.shape[0]
+    centers = (kf_pos[:, None, :] + alpha * dirs[None, :, :]).reshape(-1, 3)
+    # d2[i*D+j, k] = ||p_k - c_ij||^2
+    d2 = (jnp.sum(centers ** 2, -1)[:, None]
+          - 2.0 * centers @ kf_pos.T
+          + jnp.sum(kf_pos ** 2, -1)[None, :])
+    d2 = jnp.where(active[None, :], d2, jnp.inf)
+    # Open-ball emptiness with tolerance: a point at exactly alpha (incl.
+    # point i itself) sits ON the sphere, not inside it.
+    empty = jnp.all(d2 >= (alpha * alpha) * (1.0 - 1e-3), axis=-1)
+    return jnp.any(empty.reshape(K, D), axis=-1) & active
+
+
+def _knn_of(mask: Array, d: Array, k: int) -> Array:
+    """kNN-by-distance restricted to ``mask`` (pushSubmapIndices role,
+    odom.cc:1600-1624 comparator form): k smallest of d among mask."""
+    dm = jnp.where(mask, d, jnp.inf)
+    _, idx = jax.lax.top_k(-dm, min(k, d.shape[0]))
+    return jnp.zeros(d.shape, bool).at[idx].set(True) & mask
+
+
+def select_submap_keyframes(cfg: DlioConfig, state: OdomState,
+                            alpha: Array = None) -> Array:
+    """Keyframe selection mask: distance-kNN ∪ convex-hull kNN ∪
+    concave-hull kNN, deduped (buildSubmap, odom.cc:1654-1705).
+
+    ``alpha`` is the concave-hull alpha = the *adaptive* keyframe distance
+    threshold (the reference re-sets setAlpha each scan, odom.cc:1622);
+    defaults to the current state's adaptive threshold.
     """
     K = state.kf_pos.shape[0]
     slots = jnp.arange(K)
     active = slots < state.kf_count
     d = jnp.linalg.norm(state.kf_pos - state.p[None, :], axis=-1)
     d = jnp.where(active, d, jnp.inf)
+    if alpha is None:
+        alpha = state.keyframe_thresh_dist
 
-    knn = cfg.submap.knn
-    _, nn_idx = jax.lax.top_k(-d, knn)
-    mask = jnp.zeros((K,), bool).at[nn_idx].set(True)
+    mask = _knn_of(active, d, cfg.submap.knn)
 
-    # Hull support points (only meaningful with >= 4 keyframes, matching the
-    # reference's guard odom.cc:1444-1446).
-    proj = state.kf_pos @ _SUPPORT_DIRS.T          # (K, D)
-    proj = jnp.where(active[:, None], proj, -jnp.inf)
-    hull_idx = jnp.argmax(proj, axis=0)            # (D,)
-    hull_mask = jnp.zeros((K,), bool).at[hull_idx].set(True) & active
-    d_hull = jnp.where(hull_mask, d, jnp.inf)
-    _, hv_idx = jax.lax.top_k(-d_hull, min(cfg.submap.kcv, K))
-    hull_sel = jnp.zeros((K,), bool).at[hv_idx].set(True) & hull_mask
-    mask = mask | jnp.where(state.kf_count >= 4, hull_sel, False)
+    # Convex hull term (>= 4 keyframes, odom.cc:1442-1445).
+    cv = convex_hull_mask(state.kf_pos, active)
+    mask = mask | jnp.where(state.kf_count >= 4,
+                            _knn_of(cv, d, cfg.submap.kcv), False)
+
+    # Concave hull term (>= 5 keyframes, odom.cc:1481-1484).
+    if cfg.submap.kcc > 0:
+        cc = alpha_boundary_mask(state.kf_pos, active, alpha)
+        mask = mask | jnp.where(state.kf_count >= 5,
+                                _knn_of(cc, d, cfg.submap.kcc), False)
     return mask & active
 
 
 def gather_submap(cfg: DlioConfig, state: OdomState, mask: Array):
-    """Concatenate selected keyframe clouds into the fixed submap buffers."""
+    """Concatenate selected keyframe clouds into the fixed submap buffers.
+
+    Returns (xyz, valid, cov, count, overflow): ``overflow`` counts selected
+    keyframes beyond the max_submap_kf capacity — those are DROPPED from the
+    registration target (the reference concatenates all selected keyframes,
+    odom.cc:1719-1729, so any overflow is a fidelity loss the caller must
+    surface; state.submap_overflow accumulates it)."""
     K, Nk = state.kf_xyz.shape[0], state.kf_xyz.shape[1]
     Smax_kf = cfg.capacity.max_submap_kf
+    overflow = jnp.maximum(
+        mask.sum().astype(jnp.int32) - jnp.int32(Smax_kf), 0)
     # Indices of selected keyframes, padded with K (drop slot).
     sel_rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
     kf_slots = jnp.full((Smax_kf,), K, jnp.int32)
@@ -474,7 +544,7 @@ def gather_submap(cfg: DlioConfig, state: OdomState, mask: Array):
     key = morton_sort_key(xyz, valid, cell=1.0)
     order = jnp.argsort(key, stable=True)
     return (xyz[order], valid[order], cov[order],
-            valid.sum().astype(jnp.int32))
+            valid.sum().astype(jnp.int32), overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -599,11 +669,14 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
         def bootstrap(state):
             st = push_keyframe(state, ds_xyz, ds_valid, src_cov,
                                jnp.array(True))
-            mask = select_submap_keyframes(cfg, st)
-            sm_xyz, sm_valid, sm_cov, sm_count = gather_submap(cfg, st, mask)
+            mask = select_submap_keyframes(cfg, st, alpha=threshD)
+            sm_xyz, sm_valid, sm_cov, sm_count, sm_over = gather_submap(
+                cfg, st, mask)
             st = st._replace(
                 submap_xyz=sm_xyz, submap_valid=sm_valid, submap_cov=sm_cov,
-                submap_mask=mask, submap_count=sm_count, T_prior=T_prior)
+                submap_mask=mask, submap_count=sm_count,
+                submap_overflow=st.submap_overflow + sm_over,
+                T_prior=T_prior)
             if use_grid:
                 grid = gridnn.build_grid(sm_xyz, sm_valid, grid_cell)
                 st = st._replace(
@@ -633,9 +706,10 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
             kf_cov = gicp_ops.rotate_sym6(src_cov, T_corr[:3, :3])
             st = push_keyframe(st, kf_cloud, ds_valid, kf_cov, is_kf)
 
-            mask = select_submap_keyframes(cfg, st)
+            mask = select_submap_keyframes(cfg, st, alpha=threshD)
             changed = jnp.any(mask != st.submap_mask)
-            sm_xyz, sm_valid, sm_cov, sm_count = gather_submap(cfg, st, mask)
+            sm_xyz, sm_valid, sm_cov, sm_count, sm_over = gather_submap(
+                cfg, st, mask)
             sel = lambda a, b: jnp.where(changed, a, b)
             st = st._replace(
                 submap_xyz=sel(sm_xyz, st.submap_xyz),
@@ -643,6 +717,8 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
                 submap_cov=sel(sm_cov, st.submap_cov),
                 submap_mask=mask,
                 submap_count=sel(sm_count, st.submap_count),
+                submap_overflow=st.submap_overflow
+                + jnp.where(changed, sm_over, 0),
                 first_opt_done=jnp.array(True))
             if use_grid:
                 new_grid = gridnn.build_grid(sm_xyz, sm_valid, grid_cell)

@@ -97,6 +97,7 @@ class OdometryPipeline:
         self._flushed_scans = 0
         self.last_output = None             # StepOutput of last submit
         self.imu_dropped = 0                # out-of-order samples rejected
+        self._decim_rng = np.random.default_rng(0)  # scan-overflow decimation
 
     # ------------------------------------------------------------------ IMU
     def push_imu(self, stamp: float, ang_vel, lin_accel) -> None:
@@ -172,7 +173,10 @@ class OdometryPipeline:
         n = cap.max_points
         m = xyz.shape[0]
         if m > n:
-            keep = np.random.default_rng(0).choice(m, n, replace=False)
+            # Stateful RNG: decimation patterns must decorrelate across
+            # scans (a fixed per-call seed would thin the same angular
+            # sectors every sweep; the reference keeps all points).
+            keep = self._decim_rng.choice(m, n, replace=False)
             keep.sort()
             xyz = xyz[keep]
             point_times = None if point_times is None else point_times[keep]
@@ -368,6 +372,15 @@ class OdometryPipeline:
     def num_processed(self) -> int:
         self.flush()
         return self._flushed_scans
+
+    @property
+    def submap_overflow(self) -> int:
+        """Cumulative keyframes selected for the submap but dropped because
+        max_submap_kf was exceeded (0 = the registration target always held
+        the full reference-equivalent selection)."""
+        if self.state is None:
+            return 0
+        return int(jax.device_get(self.state.submap_overflow))
 
     @property
     def num_skipped(self) -> int:

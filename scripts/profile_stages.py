@@ -245,7 +245,7 @@ def main():
         def f_submap(c):
             st = st0._replace(p=jnp.stack([c * 1e-4, c * 0, c * 0]))
             mask = odom_mod.select_submap_keyframes(c3, st)
-            xyz, valid, cov, cnt = odom_mod.gather_submap(c3, st, mask)
+            xyz, valid, cov, cnt, _ = odom_mod.gather_submap(c3, st, mask)
             return c + jnp.sum(xyz[0]) * 1e-9 + cnt * 1e-9
         chain_time("select+gather_submap 8x8192", f_submap, 0.0)
 
