@@ -139,6 +139,27 @@ def main():
     t2 = time.perf_counter()
     tsdf_per_sec = 1.0 / max(((t2 - t1) - (t1 - t0)) / 5, 1e-9)
 
+    # Real-ingest ATE on the committed MulRan-format fixture (the BASELINE
+    # primary accuracy metric, through the real CSV/bin parsers + replay).
+    mulran_ate = None
+    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "fixtures", "mulran_mini")
+    if os.path.isdir(fixture) and not tiny:
+        from noetic_slam_tpu.config.params import CapacityConfig as CC
+        from noetic_slam_tpu.config.params import DlioConfig as DC
+        from noetic_slam_tpu.io.mulran import MulranDataset
+        from noetic_slam_tpu.io.replay import replay_dataset
+
+        ds = MulranDataset.load(fixture)
+        mp = OdometryPipeline(DC(capacity=CC(
+            max_points=2048, max_ds_points=1024, max_deskew_frames=128,
+            max_imu_window=64, max_keyframes=64, max_submap_kf=32,
+            max_trajectory=512)))
+        replay_dataset(ds, mp, rate=0.0, batch=8)
+        mtraj = mp.flush()
+        mulran_ate = synthetic.ate_rmse(mtraj[:, 0], mtraj[:, 1:4],
+                                        ds.gt_stamps, ds.gt_poses[:, :, 3])
+
     result = {
         "metric": "odometry_scans_per_sec_1chip",
         "value": round(scans_per_sec, 3),
@@ -147,6 +168,8 @@ def main():
         "extras": {
             "tsdf_integrations_per_sec": round(tsdf_per_sec, 1),
             "ate_rmse_m_synthetic": round(ate, 4),
+            "ate_rmse_m_mulran_fixture": (None if mulran_ate is None
+                                          else round(mulran_ate, 4)),
             "submap_overflow": pipe.submap_overflow,
         },
     }
