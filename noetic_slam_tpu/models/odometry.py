@@ -655,7 +655,18 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
             prop_start, sweep_end, cap.max_imu_window)
         q_prop, p_prop, v_prop = imu_ops.propagate_state_batch(
             state.q, state.p, state.v, prop_window, prop_window.count,
-            cfg.gravity)
+            cfg.gravity, start_exclusive=prop_start)
+        # Propagation boundary = stamp of the LAST sample actually applied
+        # (the first sample at/past the sweep end — already propagated when
+        # the reference's updateState runs). Tracking the sample stamp, not
+        # sweep_end itself, is what makes the next scan's start_exclusive
+        # mask line up so every IMU interval is applied exactly once.
+        last_idx = jnp.clip(prop_window.count - 1, 0,
+                            cap.max_imu_window - 1)
+        prop_boundary = jnp.where(
+            prop_window.count > 0,
+            jnp.maximum(prop_window.stamps[last_idx], prop_start),
+            jnp.maximum(sweep_end, prop_start))
         fod = state.first_opt_done
         state = state._replace(
             q=jnp.where(fod, q_prop, state.q),
@@ -758,7 +769,7 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
         new_state, (is_kf, diag) = jax.lax.cond(
             enough_points, process, skip, state)
         new_state = new_state._replace(
-            prop_off=jnp.maximum(sweep_end, prop_start),
+            prop_off=prop_boundary,
             total_steps=new_state.total_steps + 1)
 
         # Output world cloud: deskewed cloud corrected by T_corr

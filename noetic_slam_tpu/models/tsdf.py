@@ -359,6 +359,45 @@ def integrate(cfg: TsdfConfig, state: TsdfState, points: Array,
     return _integrate_samples(cfg, state, pos, sdf, w)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def rebuild_from_keyframes(cfg: TsdfConfig, kf_xyz: Array, kf_valid: Array,
+                           kf_pos: Array, kf_count: Array) -> TsdfState:
+    """Re-fuse the whole TSDF from the (deformed) keyframe clouds.
+
+    The loop-closure consistency mechanism: ``integrate`` fuses each scan at
+    its pose *at integration time*, so a later pose-graph correction leaves
+    already-fused geometry at pre-closure poses (a permanently smeared map
+    — the failure mode of any integrate-then-optimize pipeline). After a
+    closure deforms the keyframe store (posegraph.apply_pose_update), this
+    rebuilds the volume from scratch out of the corrected keyframe clouds,
+    with each keyframe's position as the carving origin.
+
+    Post-rebuild the map's support is the keyframe coverage (keyframe
+    clouds are the voxel-downsampled registered scans) rather than every
+    scan ever fused; subsequent scans keep integrating incrementally. This
+    matches the role of the reference-class TSDF consumers, which fuse the
+    *post-correction* world-frame stream (reference
+    src/dliomapping/dliomapping.cpp:44, README.md:30-40) — after a
+    correction, a consistent volume requires re-fusing corrected data.
+
+    One lax.scan step per keyframe slot; inactive slots are gated by zero
+    sample weights (a cond would copy the multi-hundred-MB payload).
+    """
+    state = init_tsdf(cfg)
+
+    def body(st, inp):
+        xyz, valid, origin, idx = inp
+        pos, sdf, w = _ray_samples(cfg, xyz, valid, origin)
+        w = w * (idx < kf_count).astype(w.dtype)
+        return _integrate_samples(cfg, st, pos, sdf, w), None
+
+    K = kf_xyz.shape[0]
+    state, _ = jax.lax.scan(
+        body, state,
+        (kf_xyz, kf_valid, kf_pos, jnp.arange(K, dtype=jnp.int32)))
+    return state
+
+
 def voxel_centers(cfg: TsdfConfig, state: TsdfState):
     """World-space centers of every allocated voxel: (C, 512, 3)."""
     keys = state.dir_keys

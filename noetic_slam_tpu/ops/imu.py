@@ -273,19 +273,29 @@ def integrate_imu(window: ImuWindow, start_time: Array, q_init: Array,
 
 
 def propagate_state_batch(q: Array, p: Array, v: Array, window: ImuWindow,
-                          count: Array, gravity: float = 9.80665):
+                          count: Array, gravity: float = 9.80665,
+                          start_exclusive: Array | None = None):
     """Geometric-observer IMU-rate prediction over a batch of samples.
 
     Replicates reference ``propagateState`` (odom.cc:1248-1284) applied
     sequentially to ``count`` samples of the window (dt taken from stamp
     diffs; the window's sample 0 is the previous boundary sample whose dt is
     not applied). Returns the propagated (q, p, v).
+
+    ``start_exclusive``: additionally skip intervals ENDING at or before
+    this stamp (+0.1 ms tolerance for f32 rebasing noise). The per-scan
+    caller needs this because slice_imu_window starts windows at the newest
+    sample *before* the boundary — without the mask, the interval that
+    closed the previous scan's propagation would be applied twice (the
+    reference applies each IMU sample exactly once, odom.cc:968-981).
     """
     g = jnp.asarray([0.0, 0.0, gravity], dtype=p.dtype)
     stamps, wv, f = window.stamps, window.ang_vel, window.lin_accel
     ks = jnp.arange(stamps.shape[0] - 1, dtype=jnp.int32)
     dts = jnp.maximum(stamps[1:] - stamps[:-1], 0.0)
     dts = jnp.where(ks < count - 1, dts, 0.0)   # masked steps are no-ops
+    if start_exclusive is not None:
+        dts = jnp.where(stamps[1:] > start_exclusive + 1e-4, dts, 0.0)
 
     # Parallel-prefix form of the serial recurrence (see quat_prefix):
     # orientations first, then accelerations batched, then v/p cumsums.

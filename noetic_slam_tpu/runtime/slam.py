@@ -180,6 +180,15 @@ class SlamSystem:
             T=make_se3(lidar_q, lidar_p),
             submap_mask=jnp.zeros_like(st.submap_mask))
 
+        # TSDF consistency: the volume was fused at pre-closure poses;
+        # re-fuse it from the deformed keyframe clouds (keyframe-rate cost,
+        # one scan-step per keyframe — see tsdf.rebuild_from_keyframes).
+        if self.enable_tsdf and self.odometry.tsdf_state is not None:
+            st2 = self.odometry.state
+            self.odometry.tsdf_state = tsdf_mod.rebuild_from_keyframes(
+                self.cfg.tsdf, st2.kf_xyz, st2.kf_valid, st2.kf_pos,
+                st2.kf_count)
+
     # ------------------------------------------------------------- results
     def flush(self):
         return self.odometry.flush()

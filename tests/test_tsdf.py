@@ -101,3 +101,53 @@ def test_capacity_overflow_drops():
     st = tsdf.allocate_blocks(st, tsdf._block_key(coords))
     assert int(st.num_blocks) == 4
     assert int(st.dropped) == 6
+
+
+def test_rebuild_from_keyframes_matches_incremental():
+    """rebuild_from_keyframes over K keyframe clouds must produce the SAME
+    volume as integrating those clouds incrementally (same sample stream ->
+    same payload), with inactive slots contributing nothing."""
+    cfg = small_cfg()
+    rng = np.random.default_rng(4)
+    K, Nk = 4, 400
+    kf_xyz = np.zeros((K, Nk, 3), np.float32)
+    kf_valid = np.zeros((K, Nk), bool)
+    kf_pos = np.zeros((K, 3), np.float32)
+    st_inc = tsdf.init_tsdf(cfg)
+    for k in range(3):                      # 3 active, 1 inactive slot
+        origin = np.array([k * 0.5, 0.0, 0.0], np.float32)
+        pts = np.c_[np.full(Nk, 5.0 + 0.2 * k),
+                    rng.uniform(-2, 2, Nk), rng.uniform(-1, 1, Nk)
+                    ].astype(np.float32)
+        kf_xyz[k], kf_valid[k], kf_pos[k] = pts, True, origin
+        st_inc = tsdf.integrate(cfg, st_inc, jnp.asarray(pts),
+                                jnp.ones((Nk,), bool), jnp.asarray(origin))
+    kf_xyz[3] = 77.0                        # garbage in the inactive slot
+
+    st_rb = tsdf.rebuild_from_keyframes(
+        cfg, jnp.asarray(kf_xyz), jnp.asarray(kf_valid),
+        jnp.asarray(kf_pos), jnp.int32(3))
+
+    assert int(st_rb.num_blocks) == int(st_inc.num_blocks)
+    np.testing.assert_array_equal(np.asarray(st_rb.dir_keys),
+                                  np.asarray(st_inc.dir_keys))
+    # payload slots may be assigned in a different order across the two
+    # paths; compare per-key rows
+    slots_inc = np.asarray(st_inc.dir_slots)
+    slots_rb = np.asarray(st_rb.dir_slots)
+    nb = int(st_inc.num_blocks)
+    w_inc = np.asarray(st_inc.weight)[slots_inc[:nb]]
+    w_rb = np.asarray(st_rb.weight)[slots_rb[:nb]]
+    np.testing.assert_allclose(w_rb, w_inc, rtol=1e-5, atol=1e-5)
+    d_inc = np.asarray(tsdf.tsdf_distance(cfg, st_inc))[slots_inc[:nb]]
+    d_rb = np.asarray(tsdf.tsdf_distance(cfg, st_rb))[slots_rb[:nb]]
+    np.testing.assert_allclose(d_rb, d_inc, rtol=1e-4, atol=1e-4)
+
+
+def test_rebuild_from_keyframes_empty():
+    cfg = small_cfg()
+    st = tsdf.rebuild_from_keyframes(
+        cfg, jnp.zeros((2, 8, 3)), jnp.zeros((2, 8), bool),
+        jnp.zeros((2, 3)), jnp.int32(0))
+    assert int(st.num_blocks) == 0
+    assert float(st.weight.sum()) == 0.0
