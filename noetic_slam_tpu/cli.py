@@ -159,10 +159,7 @@ def cmd_slam(args) -> int:
                       "-> tsdf_mesh.ply")
 
     if args.checkpoint:
-        from noetic_slam_tpu.runtime.checkpoint import save_pipeline
-
-        save_pipeline(os.path.join(args.out, "state.nst.npz"),
-                      slam.odometry, slam.tsdf, slam.graph)
+        slam.save(os.path.join(args.out, "state.nst.npz"))
         print("checkpoint -> state.nst.npz")
 
     if args.viz:

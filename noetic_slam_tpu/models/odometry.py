@@ -84,7 +84,11 @@ class OdomState(NamedTuple):
     kf_xyz: Array       # (K, Nk, 3)
     kf_valid: Array     # (K, Nk) bool
     kf_cov: Array       # (K, Nk, 6)
-    kf_count: Array     # () int32
+    kf_count: Array     # () int32 — resident keyframes (saturates at K)
+    kf_seq: Array       # (K,) int32 — insertion sequence number per slot
+                        # (0 = never written; slot order stops being age
+                        # order once eviction starts)
+    kf_total: Array     # () int32 — keyframes ever created (monotone)
     # Submap target buffers (concat of selected keyframes).
     submap_xyz: Array   # (S, 3)
     submap_valid: Array # (S,)
@@ -230,6 +234,7 @@ def init_state(cfg: DlioConfig, q0=None, ba0=None, bg0=None) -> OdomState:
         kf_xyz=jnp.full((K, Nk, 3), SENTINEL, f32),
         kf_valid=jnp.zeros((K, Nk), bool),
         kf_cov=jnp.zeros((K, Nk, 6), f32), kf_count=jnp.int32(0),
+        kf_seq=jnp.zeros((K,), jnp.int32), kf_total=jnp.int32(0),
         submap_xyz=jnp.full((S, 3), SENTINEL, f32),
         submap_valid=jnp.zeros((S,), bool),
         submap_cov=jnp.zeros((S, 6), f32),
@@ -367,18 +372,46 @@ def keyframe_decision(state: OdomState, thresh_dist: Array,
     return (dd > thresh_dist) | ((theta > thresh_rot) & (num_nearby <= 1))
 
 
+_KF_PROTECT_RECENT = 4   # newest keyframes never evicted (submap continuity)
+
+
+def select_eviction_victim(state: OdomState) -> Array:
+    """Slot to overwrite when the keyframe store is full: the most
+    spatially REDUNDANT keyframe — the one with the smallest distance to
+    its nearest other keyframe (densest cluster, typically a revisit),
+    excluding the ``_KF_PROTECT_RECENT`` newest. Evicting there preserves
+    trajectory coverage, so submap selection (distance + hull kNN) keeps
+    working at long range.
+
+    The reference has no equivalent — its store grows unboundedly
+    (odom.cc:1517-1598); a bounded device store needs an explicit policy
+    (see tests/test_keyframe_eviction.py for the saturation behavior)."""
+    K = state.kf_pos.shape[0]
+    active = jnp.arange(K) < state.kf_count
+    d2 = jnp.sum(
+        (state.kf_pos[:, None, :] - state.kf_pos[None, :, :]) ** 2, -1)
+    pair_ok = active[:, None] & active[None, :] & ~jnp.eye(K, dtype=bool)
+    nnd = jnp.min(jnp.where(pair_ok, d2, jnp.inf), axis=1)
+    recent = state.kf_seq > state.kf_total - _KF_PROTECT_RECENT
+    return jnp.argmin(jnp.where(active & ~recent, nnd, jnp.inf))
+
+
 def push_keyframe(state: OdomState, cloud_xyz: Array, cloud_valid: Array,
                   cloud_cov: Array, enabled: Array) -> OdomState:
-    """Append a keyframe (cloud already corrected to world by T_corr) when
+    """Insert a keyframe (cloud already corrected to world by T_corr) when
     ``enabled``; single-slot masked write (no full-store copy).
 
-    When the store is full the write is dropped and the count saturates
-    (the reference grows unboundedly up to memory; capacity here is a
-    config policy, max_keyframes).
-    """
+    While the store has free slots the keyframe appends; once full, the
+    most redundant resident keyframe is EVICTED and overwritten
+    (select_eviction_victim) — the reference grows unboundedly
+    (odom.cc:1517-1598), a fixed-capacity store must keep covering the
+    trajectory. kf_seq/kf_total let the host reconstruct insertion order
+    for pose-graph bookkeeping (runtime.slam.SlamSystem.sync_graph)."""
     K = state.kf_pos.shape[0]
-    i = jnp.minimum(state.kf_count, K - 1)
-    ok = enabled & (state.kf_count < K)
+    full = state.kf_count >= K
+    i = jnp.where(full, select_eviction_victim(state),
+                  jnp.minimum(state.kf_count, K - 1))
+    ok = enabled
     sel = lambda new, old: jnp.where(ok, new, old)
     return state._replace(
         kf_pos=state.kf_pos.at[i].set(sel(state.lidar_p, state.kf_pos[i])),
@@ -389,7 +422,10 @@ def push_keyframe(state: OdomState, cloud_xyz: Array, cloud_valid: Array,
             jnp.where(ok, cloud_valid, state.kf_valid[i])),
         kf_cov=state.kf_cov.at[i].set(
             jnp.where(ok, cloud_cov, state.kf_cov[i])),
-        kf_count=state.kf_count + ok.astype(jnp.int32),
+        kf_count=jnp.minimum(state.kf_count + ok.astype(jnp.int32), K),
+        kf_seq=state.kf_seq.at[i].set(
+            jnp.where(ok, state.kf_total + 1, state.kf_seq[i])),
+        kf_total=state.kf_total + ok.astype(jnp.int32),
     )
 
 

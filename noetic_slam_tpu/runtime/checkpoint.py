@@ -72,7 +72,8 @@ def load_checkpoint(path: str):
     return odom, tsdf, graph, host
 
 
-def save_pipeline(path: str, pipeline, tsdf_state=None, graph=None) -> None:
+def save_pipeline(path: str, pipeline, tsdf_state=None, graph=None,
+                  extra_host: dict | None = None) -> None:
     """Checkpoint an OdometryPipeline (+ optional map/graph) with its host
     bookkeeping so replay can resume mid-sequence."""
     host = {
@@ -85,6 +86,8 @@ def save_pipeline(path: str, pipeline, tsdf_state=None, graph=None) -> None:
         "imu_ang": np.asarray(pipeline._imu_ang).tolist(),
         "imu_acc": np.asarray(pipeline._imu_acc).tolist(),
     }
+    if extra_host:
+        host.update(extra_host)
     save_checkpoint(path, pipeline.state, tsdf_state, graph, host)
 
 

@@ -33,15 +33,33 @@ from noetic_slam_tpu.utils.geometry import quat_mul, quat_normalize, quat_rotate
 class SlamSystem:
     def __init__(self, cfg: DlioConfig | None = None, enable_tsdf: bool = True,
                  enable_loop_closure: bool = True, loop_radius: float = 3.0,
-                 loop_min_gap: int = 10, max_edges: int = 4096):
+                 loop_min_gap: int = 10, max_edges: int = 4096,
+                 drift_budget_frac: float = 0.05,
+                 drift_budget_min: float = 0.3):
         self.cfg = cfg or DlioConfig()
         self.odometry = OdometryPipeline(self.cfg, with_tsdf=enable_tsdf)
         self.enable_tsdf = enable_tsdf
         self.enable_loop_closure = enable_loop_closure
         self.loop_radius = loop_radius
         self.loop_min_gap = loop_min_gap
-        self.graph = pg.init_graph(self.cfg.capacity.max_keyframes, max_edges)
-        self._graph_nodes = 0
+        # Drift budget: a verified closure whose pose correction exceeds
+        # drift_budget_frac x (path length around the loop) + minimum slack
+        # is treated as a geometric alias (a structurally identical scene
+        # elsewhere verifies perfectly — the correction magnitude is the
+        # only local evidence against it). 5% is several x the drift of a
+        # healthy LiDAR-inertial odometry.
+        self.drift_budget_frac = drift_budget_frac
+        self.drift_budget_min = drift_budget_min
+        self.loop_rejected_budget = 0
+        # The pose graph outlives the bounded keyframe store: node capacity
+        # covers keyframes EVER created, not just resident ones (the store
+        # evicts once full — models.odometry.push_keyframe). _slot_node maps
+        # resident store slots to their graph node ids.
+        self.max_graph_nodes = max(4 * self.cfg.capacity.max_keyframes, 512)
+        self.graph = pg.init_graph(self.max_graph_nodes, max_edges)
+        self._slot_node: dict = {}
+        self._synced_total = 0
+        self._last_kf_pose = None        # (q, p) of the newest synced kf
         self.loop_closures = 0
 
     # ------------------------------------------------------------ per scan
@@ -73,27 +91,35 @@ class SlamSystem:
     # ------------------------------------------------------- loop closures
     def sync_graph(self) -> int:
         """Add graph nodes/odometry edges for keyframes created since the
-        last call. Returns number of new nodes."""
+        last call, in insertion (kf_seq) order. Returns number of new nodes.
+
+        The store may evict: a slot overwritten twice between syncs loses
+        its intermediate keyframe (never becomes a node); consecutive
+        synced keyframes are chained with a relative-pose edge regardless."""
         st = self.odometry.state
         if st is None:
             return 0
-        n = int(jax.device_get(st.kf_count))
-        if n <= self._graph_nodes:
+        total = int(jax.device_get(st.kf_total))
+        if total <= self._synced_total:
             return 0
-        kf_q, kf_p = jax.device_get((st.kf_quat[:n], st.kf_pos[:n]))
+        seq, kf_q, kf_p = jax.device_get((st.kf_seq, st.kf_quat, st.kf_pos))
+        new_slots = [int(s) for s in np.argsort(seq)
+                     if seq[s] > self._synced_total]
         new = 0
-        for k in range(self._graph_nodes, n):
-            self.graph = pg.add_node(self.graph,
-                                     jnp.asarray(kf_q[k]),
-                                     jnp.asarray(kf_p[k]))
-            if k > 0:
-                dq, dp = pg.relative_pose(
-                    jnp.asarray(kf_q[k - 1]), jnp.asarray(kf_p[k - 1]),
-                    jnp.asarray(kf_q[k]), jnp.asarray(kf_p[k]))
-                self.graph = pg.add_edge(self.graph, jnp.int32(k - 1),
-                                         jnp.int32(k), dq, dp)
+        for s in new_slots:
+            node = int(jax.device_get(self.graph.n_nodes))
+            q_s, p_s = jnp.asarray(kf_q[s]), jnp.asarray(kf_p[s])
+            self.graph = pg.add_node(self.graph, q_s, p_s)
+            if self._last_kf_pose is not None:
+                lq, lp = self._last_kf_pose
+                dq, dp = pg.relative_pose(jnp.asarray(lq), jnp.asarray(lp),
+                                          q_s, p_s)
+                self.graph = pg.add_edge(self.graph, jnp.int32(node - 1),
+                                         jnp.int32(node), dq, dp)
+            self._slot_node[s] = node
+            self._last_kf_pose = (kf_q[s].copy(), kf_p[s].copy())
             new += 1
-        self._graph_nodes = n
+        self._synced_total = total
         return new
 
     def maybe_close_loop(self) -> bool:
@@ -104,20 +130,32 @@ class SlamSystem:
             return False
         self.sync_graph()
         st = self.odometry.state
-        n = self._graph_nodes
-        if n < self.loop_min_gap + 2:
+        if self._synced_total < self.loop_min_gap + 2:
             return False
-        cur = n - 1
+        seq = jax.device_get(st.kf_seq)
+        cur = int(np.argmax(seq))
         cand, ok = pg.detect_loop_candidate(
             st.kf_pos, st.kf_count, jnp.int32(cur),
-            self.loop_radius, self.loop_min_gap)
+            self.loop_radius, self.loop_min_gap, kf_seq=st.kf_seq)
         if not bool(ok):
             return False
         cand = int(cand)
+        if cand not in self._slot_node or cur not in self._slot_node:
+            return False            # not synced into the graph (yet/anymore)
 
+        # Verification gets its own full solver budget: it runs at
+        # closure-candidate rate (rare), and a starved per-scan iteration
+        # budget must not decide accept/reject at the convergence knife
+        # edge (false negatives flip with float noise).
+        import dataclasses
+
+        vcfg = dataclasses.replace(
+            self.cfg.gicp, max_iterations=max(self.cfg.gicp.max_iterations,
+                                              32),
+            lm_max_iterations=max(self.cfg.gicp.lm_max_iterations, 10))
         T_corr, accepted = pg.verify_loop(
             st.kf_xyz[cur], st.kf_valid[cur], st.kf_cov[cur],
-            st.kf_xyz[cand], st.kf_cov[cand], self.cfg.gicp,
+            st.kf_xyz[cand], st.kf_cov[cand], vcfg,
             max_corr_dist=2.0 * self.cfg.gicp.max_corr_dist)
         if not bool(accepted):
             return False
@@ -133,11 +171,28 @@ class SlamSystem:
             jnp.asarray(kq[cur]), jnp.asarray(kp[cur]))))
         T_fix = Tc @ T_cur
         q_fix, p_fix = jax.device_get(se3_q_p(jnp.asarray(T_fix)))
+
+        # Drift-budget gate (see __init__): correction magnitude vs the
+        # path length accumulated between candidate and current keyframe
+        # (summed along the graph's insertion-ordered node chain — slot
+        # order stops being trajectory order once the store evicts).
+        cand_node, cur_node = self._slot_node[cand], self._slot_node[cur]
+        node_p = jax.device_get(self.graph.node_p)
+        lo, hi = min(cand_node, cur_node), max(cand_node, cur_node)
+        path_len = float(np.sum(np.linalg.norm(
+            np.diff(node_p[lo: hi + 1], axis=0), axis=-1)))
+        budget = max(self.drift_budget_frac * path_len,
+                     self.drift_budget_min)
+        correction = float(np.linalg.norm(np.asarray(p_fix) - kp[cur]))
+        if correction > budget:
+            self.loop_rejected_budget += 1
+            return False
+
         dq, dp = pg.relative_pose(
             jnp.asarray(kq[cand]), jnp.asarray(kp[cand]),
             jnp.asarray(q_fix), jnp.asarray(p_fix))
-        self.graph = pg.add_edge(self.graph, jnp.int32(cand),
-                                 jnp.int32(cur), dq, dp,
+        self.graph = pg.add_edge(self.graph, jnp.int32(cand_node),
+                                 jnp.int32(cur_node), dq, dp,
                                  w_rot=2.0, w_trans=2.0)
 
         # Optimize and deform the map.
@@ -153,10 +208,27 @@ class SlamSystem:
         st = self.odometry.state
         g = self.graph
         old_q, old_p = st.kf_quat, st.kf_pos
+
+        # Per-SLOT optimized poses: resident slots take their graph node's
+        # pose; unmapped slots keep their current pose.
+        node_q, node_p = jax.device_get((g.node_q, g.node_p))
+        new_q, new_p = jax.device_get((st.kf_quat, st.kf_pos))
+        new_q, new_p = np.array(new_q), np.array(new_p)
+        for slot, node in self._slot_node.items():
+            new_q[slot] = node_q[node]
+            new_p[slot] = node_p[node]
+
         q, p, xyz, cov = pg.apply_pose_update(
             st.kf_quat, st.kf_pos, st.kf_xyz, st.kf_valid, st.kf_cov,
-            g.node_q[: st.kf_quat.shape[0]],
-            g.node_p[: st.kf_pos.shape[0]], st.kf_count)
+            jnp.asarray(new_q), jnp.asarray(new_p), st.kf_count)
+
+        # The odometry-edge chain measures from the newest keyframe's pose;
+        # keep it at the optimized value.
+        if self._last_kf_pose is not None and self._slot_node:
+            last_slot = max(self._slot_node,
+                            key=lambda s: self._slot_node[s])
+            self._last_kf_pose = (new_q[last_slot].copy(),
+                                  new_p[last_slot].copy())
 
         from noetic_slam_tpu.utils.geometry import quat_conj
 
@@ -188,6 +260,46 @@ class SlamSystem:
             self.odometry.tsdf_state = tsdf_mod.rebuild_from_keyframes(
                 self.cfg.tsdf, st2.kf_xyz, st2.kf_valid, st2.kf_pos,
                 st2.kf_count)
+
+    # --------------------------------------------------- checkpoint/resume
+    def save(self, path: str) -> None:
+        """Checkpoint the full system: odometry + TSDF + pose graph device
+        pytrees AND the slot->node bookkeeping (without which a resumed
+        session would re-sync keyframes into duplicate graph nodes)."""
+        from noetic_slam_tpu.runtime import checkpoint as ck
+
+        lkp = self._last_kf_pose
+        ck.save_pipeline(
+            path, self.odometry, self.tsdf, self.graph,
+            extra_host={"slam": {
+                "slot_node": {str(k): int(v)
+                              for k, v in self._slot_node.items()},
+                "synced_total": self._synced_total,
+                "loop_closures": self.loop_closures,
+                "loop_rejected_budget": self.loop_rejected_budget,
+                "last_kf_pose": (None if lkp is None else
+                                 [np.asarray(lkp[0]).tolist(),
+                                  np.asarray(lkp[1]).tolist()]),
+            }})
+
+    def load(self, path: str) -> None:
+        from noetic_slam_tpu.runtime import checkpoint as ck
+
+        tsdf_state, graph = ck.load_pipeline(path, self.odometry)
+        if tsdf_state is not None:
+            self.odometry.tsdf_state = tsdf_state
+        if graph is not None:
+            self.graph = graph
+        _, _, _, host = ck.load_checkpoint(path)
+        s = host.get("slam", {})
+        self._slot_node = {int(k): int(v)
+                           for k, v in s.get("slot_node", {}).items()}
+        self._synced_total = int(s.get("synced_total", 0))
+        self.loop_closures = int(s.get("loop_closures", 0))
+        self.loop_rejected_budget = int(s.get("loop_rejected_budget", 0))
+        lkp = s.get("last_kf_pose")
+        self._last_kf_pose = (None if lkp is None else
+                              (np.asarray(lkp[0]), np.asarray(lkp[1])))
 
     # ------------------------------------------------------------- results
     def flush(self):

@@ -45,8 +45,8 @@ def test_slam_system_end_to_end():
     assert ate < 0.06, ate
 
     # keyframes made it into the pose graph with odometry edges
-    assert slam._graph_nodes >= 2
-    assert int(slam.graph.n_edges) == slam._graph_nodes - 1
+    assert slam._synced_total >= 2
+    assert int(slam.graph.n_edges) == slam._synced_total - 1
 
     # the TSDF reconstructed a surface consistent with the world
     surf = slam.surface_points(min_weight=2.0)
@@ -80,7 +80,7 @@ def test_loop_closure_corrects_drift():
             imu_i += 1
         slam.process_scan(header, xyz, pt)
     slam.sync_graph()
-    n = slam._graph_nodes
+    n = slam._synced_total
     if n < 4:
         pytest.skip("not enough keyframes in short sim")
     closed = slam.maybe_close_loop()
@@ -125,7 +125,7 @@ def test_loop_closure_on_closed_trajectory():
 
     assert slam.loop_closures >= 1, "no loop closure fired on a closed loop"
     # loop edge(s) beyond the odometry chain
-    assert int(slam.graph.n_edges) >= slam._graph_nodes
+    assert int(slam.graph.n_edges) >= slam._synced_total
 
     traj = slam.flush()
     ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
