@@ -75,9 +75,9 @@ def _nn_kernel(cap_ref, vcnt_ref, vlist_ref, vlb_ref, q_ref, qq_ref, t_ref,
         i, best_d, best_i, _ = carry
         ti = vlist_ref[qi, i]
         t0 = ti * t_tile
-        t = t_ref[pl.ds(t0, t_tile), :]                   # (TT, 3)
+        t = t_ref[:, pl.ds(t0, t_tile)]                   # (3, TT)
         cross = jax.lax.dot_general(
-            q, t, (((1,), (1,)), ((), ())),
+            q, t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)          # (QT, TT)
         d = qq - 2.0 * cross + tt_ref[0, pl.ds(t0, t_tile)][None, :]
@@ -159,7 +159,11 @@ def nn1_fused(query: Array, target: Array, t_count: Array | None = None,
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # vlb
             pl.BlockSpec((q_tile, 3), lambda i: (i, 0)),           # q
             pl.BlockSpec((q_tile, 1), lambda i: (i, 0)),           # qq
-            pl.BlockSpec((nt, 3), lambda i: (0, 0)),               # t
+            # target rides TRANSPOSED (3, nt): the lane dimension must be
+            # the long one — an (nt, 3) window lane-pads 3 -> 128 and costs
+            # nt*512 bytes of VMEM (128 MB at nt = 262k, over the whole
+            # budget); (3, nt) only sublane-pads 3 -> 8 (8 MB).
+            pl.BlockSpec((3, nt), lambda i: (0, 0)),               # t^T
             pl.BlockSpec((1, nt), lambda i: (0, 0)),               # tt
         ],
         out_specs=[
@@ -170,7 +174,7 @@ def nn1_fused(query: Array, target: Array, t_count: Array | None = None,
             jax.ShapeDtypeStruct((nqt, 1, q_tile), jnp.int32),
             jax.ShapeDtypeStruct((nqt, 1, q_tile), jnp.float32),
         ],
-    )(cap2, vcnt, vlist, vlb, qc, qq, tc, tt)
+    )(cap2, vcnt, vlist, vlb, qc, qq, tc.T, tt)
     idx = idx.reshape(nq)
     d = d.reshape(nq)
 

@@ -191,3 +191,35 @@ def sharded_gicp_align(mesh, src_xyz: Array, src_valid: Array,
     T, H, err, iters, converged, n = fn(src_xyz, src_valid, src_cov6,
                                         tgt_xyz, tgt_cov6, mcd)
     return AlignResult(T, H, err, iters, converged, n)
+
+
+def collective_traffic_per_align(cfg: GicpConfig, nq: int, ndev: int,
+                                 outer_iters: int | None = None) -> dict:
+    """Analytical per-device collective traffic of one sharded_gicp_align.
+
+    Per relinearize (outer iteration) each device:
+    - all_gathers the candidate payload (d 4 B, point 12 B, cov 24 B per
+      query): receives (ndev-1) * nq * 40 bytes over the mesh axis and
+      materializes ndev * nq * 40 bytes;
+    - psums the reduced normal equations: H(36) + b(6) + err(1) + n(1)
+      floats — 176 bytes, noise next to the gather.
+
+    The gather term is the cost of the replicated-query design (docstring
+    at module top); it rides ICI and scales linearly in nq and ndev. The
+    formula is pinned against the compiled HLO's actual all-gather shapes
+    in tests/test_parallel.py::test_collective_traffic_matches_hlo, and
+    scripts/bench_scaling.py reports it alongside scans/s so the scaling
+    efficiency target (BASELINE >= 70%) carries its communication budget.
+    """
+    it = cfg.max_iterations if outer_iters is None else outer_iters
+    per_query_bytes = 4 + 12 + 24
+    gather_recv = (ndev - 1) * nq * per_query_bytes
+    psum_bytes = (36 + 6 + 1 + 1) * 4
+    return {
+        "per_relinearize_gather_recv_bytes": gather_recv,
+        "per_relinearize_gather_materialized_bytes":
+            ndev * nq * per_query_bytes,
+        "per_relinearize_psum_bytes": psum_bytes,
+        "max_outer_iters": it,
+        "per_align_recv_bytes_max": it * (gather_recv + psum_bytes),
+    }

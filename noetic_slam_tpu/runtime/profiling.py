@@ -101,3 +101,58 @@ class StageTimer:
             rows.append(f"{k:<25} {self.counts[k]:>5} "
                         f"{self.totals[k]:>9.3f} {self.mean_ms(k):>9.2f}")
         return "\n".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# Roofline accounting (BASELINE "speed of light" quantification)
+# ---------------------------------------------------------------------------
+
+# device_kind prefix -> (bf16 MXU TFLOP/s, HBM GB/s) per chip. Public specs;
+# order matters (first prefix match wins, so "v5 lite" precedes "v5").
+CHIP_PEAKS = (
+    ("TPU v5 lite", (197.0, 819.0)),      # v5e
+    ("TPU v5e", (197.0, 819.0)),
+    ("TPU v5p", (459.0, 2765.0)),
+    ("TPU v5", (459.0, 2765.0)),
+    ("TPU v4", (275.0, 1228.0)),
+    ("TPU v6", (918.0, 1640.0)),          # v6e / Trillium
+)
+
+
+def chip_peaks():
+    """(bf16_tflops, hbm_gbps) for the attached chip, or None off-TPU."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for prefix, peaks in CHIP_PEAKS:
+        if kind.startswith(prefix):
+            return peaks, kind
+    return None, kind
+
+
+def roofline_report(name: str, seconds: float, flops: float | None = None,
+                    bytes_moved: float | None = None) -> str:
+    """One line of absolute utilization: achieved GFLOP/s / GB/s and the
+    percent of the chip's MXU / HBM peak (the BASELINE.md requirement that
+    "fast" be measured against the hardware ceiling, not a prior attempt).
+
+    ``flops``/``bytes_moved`` are per call; the caller states the counting
+    basis (e.g. dense-equivalent FLOPs for a pruned kernel) at the call
+    site."""
+    peaks, kind = chip_peaks()
+    parts = [f"{name:<34}"]
+    if flops is not None:
+        gf = flops / seconds / 1e9
+        parts.append(f"{gf:10.1f} GFLOP/s")
+        if peaks:
+            parts.append(f"({gf / (peaks[0] * 1e3) * 100:5.1f}% of "
+                         f"{peaks[0]:.0f}T bf16 MXU)")
+    if bytes_moved is not None:
+        gb = bytes_moved / seconds / 1e9
+        parts.append(f"{gb:8.1f} GB/s")
+        if peaks:
+            parts.append(f"({gb / peaks[1] * 100:5.1f}% of "
+                         f"{peaks[1]:.0f}GB/s HBM)")
+    if not peaks:
+        parts.append(f"[no peak table for {kind}]")
+    return " ".join(parts)

@@ -91,12 +91,22 @@ def main():
         max_points=N_RAW, max_ds_points=N_DS, max_deskew_frames=2048,
         max_imu_window=128, max_keyframes=128, max_submap_kf=8))
 
+    from noetic_slam_tpu.runtime.profiling import roofline_report
+
+    # Dense-equivalent FLOPs of a 1-NN search: every (query, target) pair
+    # costs ~8 flops (3 sub + 3 mul + 2 add for the squared distance). The
+    # fused kernel PRUNES tiles (branch-and-bound), so achieved/peak is an
+    # UNDERestimate of hardware efficiency — pruned work counts as done.
+    NN_DENSE_FLOPS = 8.0 * N_DS * N_TGT
+
     if want("nn"):
         def f_nn(c):
             q = src_base + c * 1e-4
             idx, sqd = neighbors.nn1(q, tgt, jnp.int32(N_TGT))
             return c + jnp.sum(sqd) * 1e-12 + idx[0] * 1e-12
-        chain_time("nn1_fused 8192x65536", f_nn, 0.0)
+        sec = chain_time("nn1_fused 8192x65536", f_nn, 0.0)
+        print(roofline_report("  roofline (dense-equivalent)", sec,
+                              flops=NN_DENSE_FLOPS))
 
     if want("nncap"):
         def f_nncap(c):
@@ -105,7 +115,9 @@ def main():
             idx, sqd = neighbors.nn1(q, tgt, jnp.int32(N_TGT),
                                      max_dist=jnp.float32(0.5))
             return c + jnp.sum(sqd) * 1e-12 + idx[0] * 1e-12
-        chain_time("nn1_fused capped 8192x65536", f_nncap, 0.0)
+        sec = chain_time("nn1_fused capped 8192x65536", f_nncap, 0.0)
+        print(roofline_report("  roofline (dense-equivalent)", sec,
+                              flops=NN_DENSE_FLOPS))
 
     if want("nn32"):
         def f_nn32(c):

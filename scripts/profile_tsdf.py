@@ -239,8 +239,20 @@ def main():
                 weight2, wsum2, rows, starts, cnts, iv_p,
                 w_p + c * 1e-9, ws_p, cfg.max_weight)
             return c + w2[0, 0] * 1e-9 + ws2[0, 0] * 1e-9
-        chain_time(f"block_accumulate A={A} real={n_real}", f_kernel, 3, 9,
-                   weight2, wsum2, rows, starts, cnts, iv_p, w_p, ws_p)
+        sec = chain_time(f"block_accumulate A={A} real={n_real}", f_kernel,
+                         3, 9,
+                         weight2, wsum2, rows, starts, cnts, iv_p, w_p, ws_p)
+        # Bytes basis: touched payload rows (read+write of both (512,) f32
+        # arrays per row group, (8,512) groups in the kernel) + the sample
+        # stream read (3 f32 streams). Row groups of 8 -> each real row
+        # drags its 8-row group through HBM.
+        from noetic_slam_tpu.runtime.profiling import roofline_report
+
+        groups = len(set(int(r) // 8 for r in np.asarray(rows)))
+        kern_bytes = (groups * 8 * 512 * 4 * 2 * 2     # payload r+w
+                      + int(iv_p.shape[0]) * 3 * 4)    # sample stream
+        print(roofline_report("  roofline (touched rows + stream)", sec,
+                              bytes_moved=kern_bytes))
 
     if want("prepass"):
         def f_pre(c, st_):
@@ -277,16 +289,35 @@ def main():
             wf = weight + c * 1e-9
             cl = jnp.minimum(wf, cfg.max_weight)
             ws2 = wsum * (cl / jnp.maximum(wf, 1e-12))
-            return c + ws2[0] * 1e-9 + cl[-1] * 1e-9
-        chain_time("renorm full payload (268MB)", f_renorm, 3, 9,
-                   wsum, weight)
+            # FULL reductions as consumers: a sliced consumer (ws2[0]) lets
+            # XLA dead-code-eliminate the array-wide work and the timing
+            # reads as >100% of HBM peak. With reduction consumers XLA
+            # fuses renorm+sum into one streaming pass: traffic = READ of
+            # both payload arrays, no materialized writes.
+            return c + jnp.sum(ws2) * 1e-12 + jnp.sum(cl) * 1e-12
+        sec = chain_time("renorm full payload (268MB)", f_renorm, 3, 9,
+                         wsum, weight)
+        from noetic_slam_tpu.runtime.profiling import roofline_report
+
+        print(roofline_report("  roofline (2x payload read)", sec,
+                              bytes_moved=2 * total * 4))
 
     if want("full"):
         def f_full(c, st_):
             st2 = T.integrate(cfg, st_, points + c * 1e-5, valid, origin)
             return (c + st2.num_blocks.astype(jnp.float32) * 1e-9
                     + st2.wsum[0, 0] * 1e-9)
-        chain_time("integrate full", f_full, 3, 9, st)
+        sec = chain_time("integrate full", f_full, 3, 9, st)
+        from noetic_slam_tpu.runtime.profiling import roofline_report
+
+        # LOWER-bound traffic: one read + one write of the 4-stream sample
+        # payload (the sort alone does several passes) + touched payload
+        # rows (~num_blocks groups). Real traffic is higher, so the printed
+        # % of HBM peak is a floor on achieved utilization.
+        full_bytes = (2 * S * 16
+                      + int(st.num_blocks) * 512 * 4 * 2 * 2)
+        print(roofline_report("  roofline (lower-bound traffic)", sec,
+                              bytes_moved=full_bytes))
 
 
 if __name__ == "__main__":

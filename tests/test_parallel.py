@@ -137,3 +137,34 @@ def test_sharded_tsdf_matches_single_device(rng, mesh8):
     set1 = {tuple(np.round(r, 4)) for r in s1}
     set2 = {tuple(np.round(r, 4)) for r in s2}
     assert set1 == set2
+
+
+def test_collective_traffic_matches_hlo():
+    """The analytical per-align collective budget must match the all-gather
+    tensors actually present in the compiled SPMD program."""
+    import re
+
+    from noetic_slam_tpu.config.params import GicpConfig
+    from noetic_slam_tpu.parallel import registration as reg
+    from noetic_slam_tpu.parallel.mesh import make_mesh
+
+    cfg = GicpConfig()
+    ndev = 8
+    mesh = make_mesh(ndev, axis="map")
+    nq, nt = 512, 2048
+    args = (jnp.zeros((nq, 3)), jnp.ones((nq,), bool), jnp.zeros((nq, 6)),
+            jnp.zeros((nt, 3)), jnp.zeros((nt, 6)))
+    lowered = jax.jit(
+        lambda *a: reg.sharded_gicp_align(mesh, *a, cfg)).lower(*args)
+    hlo = lowered.compile().as_text()
+
+    # all-gather output shapes in the optimized module (HLO text puts the
+    # result shape BEFORE the op name: `%x = f32[8,512,3]{...} all-gather(`)
+    gathered = re.findall(r"f32\[([0-9,]+)\][^\n=]*all-gather\(", hlo)
+    shapes = sorted(tuple(int(x) for x in s.split(",")) for s in gathered)
+    budget = reg.collective_traffic_per_align(cfg, nq, ndev)
+    # d (ndev, nq) + pt (ndev, nq, 3) + cv (ndev, nq, 6) -- possibly fused
+    # into fewer instructions; compare total materialized f32 counts
+    got_floats = sum(int(np.prod(s)) for s in shapes)
+    want_floats = budget["per_relinearize_gather_materialized_bytes"] // 4
+    assert got_floats == want_floats, (shapes, want_floats)

@@ -113,3 +113,46 @@ def test_apply_pose_update_moves_clouds(rng):
     np.testing.assert_allclose(np.asarray(xyz)[1], kf_xyz[1] + [1, 2, 3],
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(xyz)[0], kf_xyz[0], atol=1e-6)
+
+
+def _build_graph(gt_q, gt_p, est_q, est_p, edges, max_nodes, max_edges):
+    g = pg.init_graph(max_nodes, max_edges)
+    for k in range(len(gt_q)):
+        g = pg.add_node(g, jnp.asarray(est_q[k], jnp.float32),
+                        jnp.asarray(est_p[k], jnp.float32))
+    for (i, j, dq, dp) in edges:
+        g = pg.add_edge(g, jnp.int32(i), jnp.int32(j),
+                        jnp.asarray(dq, jnp.float32),
+                        jnp.asarray(dp, jnp.float32))
+    return g
+
+
+def test_cg_matches_dense(rng):
+    """The matrix-free PCG solver must land on the dense solution (same GN
+    iterations, same damping) to solver tolerance."""
+    gt_q, gt_p, est_q, est_p, edges = _circle_graph(n=24, rng=rng)
+    g = _build_graph(gt_q, gt_p, est_q, est_p, edges, 32, 64)
+    gd = pg.optimize(g, iters=8, method="dense")
+    gc = pg.optimize(g, iters=8, method="cg", cg_iters=150)
+    n = len(gt_q)
+    dp = np.linalg.norm(np.asarray(gd.node_p)[:n]
+                        - np.asarray(gc.node_p)[:n], axis=-1)
+    assert dp.max() < 1e-3, dp.max()
+    qdot = np.abs(np.sum(np.asarray(gd.node_q)[:n]
+                         * np.asarray(gc.node_q)[:n], axis=-1))
+    assert qdot.min() > 1 - 1e-6
+    assert float(pg.graph_cost(gc)) < float(pg.graph_cost(g)) * 1e-3
+
+
+def test_cg_scales_to_k256(rng):
+    """City-scale path: a 256-node circle (the dense path would build a
+    1536^2 system; auto dispatches to CG) converges to ground truth."""
+    gt_q, gt_p, est_q, est_p, edges = _circle_graph(n=256, drift=0.1,
+                                                    rng=rng)
+    g = _build_graph(gt_q, gt_p, est_q, est_p, edges, 256, 512)
+    assert int(g.n_nodes) == 256
+    g2 = pg.optimize(g, iters=12)          # auto -> cg at K=256
+    cost0, cost1 = float(pg.graph_cost(g)), float(pg.graph_cost(g2))
+    assert cost1 < cost0 * 1e-3, (cost0, cost1)
+    p_err = np.linalg.norm(np.asarray(g2.node_p)[:256] - gt_p, axis=-1)
+    assert p_err.max() < 0.05, p_err.max()
