@@ -53,6 +53,8 @@ def cmd_slam(args) -> int:
     from noetic_slam_tpu.runtime.slam import SlamSystem
 
     cfg = load_config(args.config)
+    if args.map_backend:
+        cfg = cfg.replace(map_backend=args.map_backend)
     os.makedirs(args.out, exist_ok=True)
     slam = SlamSystem(cfg, enable_tsdf=not args.no_tsdf,
                       enable_loop_closure=not args.no_loop_closure)
@@ -144,10 +146,12 @@ def cmd_slam(args) -> int:
 
     if slam.tsdf is not None:
         surf = slam.surface_points()
+        name = ("occupied.ply" if cfg.map_backend == "occupancy"
+                else "tsdf_surface.ply")
         if len(surf):
-            write_ply(os.path.join(args.out, "tsdf_surface.ply"), surf)
-            print(f"tsdf surface: {len(surf)} pts -> tsdf_surface.ply")
-        if args.mesh:
+            write_ply(os.path.join(args.out, name), surf)
+            print(f"{cfg.map_backend} map: {len(surf)} pts -> {name}")
+        if args.mesh and cfg.map_backend == "tsdf":
             from noetic_slam_tpu.io.export import write_ply_mesh
             from noetic_slam_tpu.io.meshing import extract_mesh
 
@@ -314,7 +318,11 @@ def main(argv=None) -> int:
     ps.add_argument("--max-scans", type=int, default=None)
     ps.add_argument("--loop-every", type=int, default=20,
                     help="attempt loop closure every N scans")
-    ps.add_argument("--no-tsdf", action="store_true")
+    ps.add_argument("--no-tsdf", action="store_true",
+                    help="disable the dense map backend entirely")
+    ps.add_argument("--map-backend", default=None,
+                    choices=["tsdf", "occupancy"],
+                    help="dense map backend (default: config, tsdf)")
     ps.add_argument("--mesh", action="store_true",
                     help="extract a surface-nets mesh from the TSDF")
     ps.add_argument("--no-loop-closure", action="store_true")

@@ -134,6 +134,24 @@ class TsdfConfig:
 
 
 @dataclass(frozen=True)
+class OccupancyConfig:
+    """Octomap-class occupancy backend (the reference README's map-backend
+    alternative to TSDF, README.md:30-40; package absent from the checkout).
+    Inverse sensor model defaults = Octomap's (hit 0.7 -> L 0.85, miss 0.4
+    -> L -0.4, clamps [0.12, 0.97] -> L [-2.0, 3.5])."""
+    voxel_size: float = 0.1
+    l_hit: float = 0.85
+    l_miss: float = -0.4
+    l_min: float = -2.0
+    l_max: float = 3.5
+    occ_thresh: float = 0.0            # occupied iff L > this (p > 0.5)
+    max_range: float = 60.0
+    miss_samples: int = 24             # free-space samples per ray
+    max_blocks: int = 65536
+    scan_block_cap: int = 4096
+
+
+@dataclass(frozen=True)
 class CapacityConfig:
     """Static-shape capacities (TPU padding policy; no reference equivalent —
     the reference uses dynamic std/PCL containers)."""
@@ -167,7 +185,12 @@ class DlioConfig:
     gicp: GicpConfig = field(default_factory=GicpConfig)
     geo: GeoConfig = field(default_factory=GeoConfig)
     map: MapConfig = field(default_factory=MapConfig)
+    # Dense-map backend selection (the reference README's MAP_BACKEND_IDX
+    # role, README.md:30-40): "tsdf" (CHAD/Voxblox class) or "occupancy"
+    # (Octomap class).
+    map_backend: str = "tsdf"
     tsdf: TsdfConfig = field(default_factory=TsdfConfig)
+    occupancy: OccupancyConfig = field(default_factory=OccupancyConfig)
     capacity: CapacityConfig = field(default_factory=CapacityConfig)
 
     def replace(self, **kw) -> "DlioConfig":

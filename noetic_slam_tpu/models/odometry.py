@@ -826,32 +826,46 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
 
 
 def make_slam_step(cfg: DlioConfig, align_fn=None):
-    """Odometry + TSDF fusion as ONE jitted program.
+    """Odometry + dense-map fusion as ONE jitted program.
 
     Fusing matters beyond elegance: the runtime loads one executable per
     scan (alternating two large executables through the device tunnel
     thrashes program state), and the registered world cloud flows straight
-    into the TSDF scatter without leaving the device.
+    into the map scatter without leaving the device.
 
-    step((odom_state, tsdf_state), inp) -> ((odom_state, tsdf_state), out)
+    The map backend follows ``cfg.map_backend`` ("tsdf" or "occupancy" —
+    the reference README's MAP_BACKEND_IDX role, README.md:30-40).
+
+    step((odom_state, map_state), inp) -> ((odom_state, map_state), out)
     """
-    from noetic_slam_tpu.models import tsdf as tsdf_mod
-
     odo = make_odometry_step(cfg, align_fn=align_fn)
 
-    def step(carry, inp: StepInput):
-        odom_state, tsdf_state = carry
-        odom_state, out = odo(odom_state, inp)
+    # Skipped scans are gated by zeroing sample weights/deltas instead of a
+    # lax.cond: a cond output cannot alias its input buffers, which would
+    # force XLA to copy the (hundreds of MB) map payload every step; gating
+    # keeps the donated in-place scatter.
+    if cfg.map_backend == "occupancy":
+        from noetic_slam_tpu.models import occupancy as occ_mod
 
-        # Skipped scans are gated by zeroing sample weights instead of a
-        # lax.cond: a cond output cannot alias its input buffers, which
-        # would force XLA to copy the (hundreds of MB) TSDF payload every
-        # step; weight gating keeps the donated in-place scatter.
-        pos, sdf, w = tsdf_mod._ray_samples(
-            cfg.tsdf, out.world_xyz, out.world_valid, out.lidar_p)
-        w = w * out.processed.astype(w.dtype)
-        tsdf_state = tsdf_mod._integrate_samples(cfg.tsdf, tsdf_state,
-                                                 pos, sdf, w)
-        return (odom_state, tsdf_state), out
+        def fuse(map_state, out):
+            pos, delta = occ_mod._beam_samples(
+                cfg.occupancy, out.world_xyz, out.world_valid, out.lidar_p)
+            delta = delta * out.processed.astype(delta.dtype)
+            return occ_mod._integrate_deltas(cfg.occupancy, map_state,
+                                             pos, delta)
+    else:
+        from noetic_slam_tpu.models import tsdf as tsdf_mod
+
+        def fuse(map_state, out):
+            pos, sdf, w = tsdf_mod._ray_samples(
+                cfg.tsdf, out.world_xyz, out.world_valid, out.lidar_p)
+            w = w * out.processed.astype(w.dtype)
+            return tsdf_mod._integrate_samples(cfg.tsdf, map_state,
+                                               pos, sdf, w)
+
+    def step(carry, inp: StepInput):
+        odom_state, map_state = carry
+        odom_state, out = odo(odom_state, inp)
+        return (odom_state, fuse(map_state, out)), out
 
     return step

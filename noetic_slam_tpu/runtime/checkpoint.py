@@ -61,10 +61,19 @@ def save_checkpoint(path: str, odom_state: OdomState,
 
 
 def load_checkpoint(path: str):
-    """Returns (odom_state, tsdf_state | None, graph | None, host dict)."""
+    """Returns (odom_state, map_state | None, graph | None, host dict).
+
+    The "tsdf/" slot holds whichever dense-map backend was active; the
+    class is detected from the payload field present (weight -> TsdfState,
+    logodds -> OccupancyState)."""
     data = np.load(path, allow_pickle=False)
     odom = _unpack("odom", OdomState, data)
-    tsdf = _unpack("tsdf", TsdfState, data)
+    if "tsdf/logodds" in data.files:
+        from noetic_slam_tpu.models.occupancy import OccupancyState
+
+        tsdf = _unpack("tsdf", OccupancyState, data)
+    else:
+        tsdf = _unpack("tsdf", TsdfState, data)
     graph = _unpack("graph", PoseGraph, data)
     host = {}
     if "host/json" in data.files:

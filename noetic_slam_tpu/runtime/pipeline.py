@@ -63,10 +63,19 @@ class OdometryPipeline:
         self.with_tsdf = with_tsdf
         if with_tsdf:
             from noetic_slam_tpu.models.odometry import make_slam_step
-            from noetic_slam_tpu.models.tsdf import init_tsdf
 
             self._step = make_slam_step(self.cfg, align_fn=align_fn)
-            self.tsdf_state = init_tsdf(self.cfg.tsdf)
+            # tsdf_state holds whichever dense-map backend cfg.map_backend
+            # selects (tsdf | occupancy); the name is kept for the stable
+            # checkpoint key.
+            if self.cfg.map_backend == "occupancy":
+                from noetic_slam_tpu.models.occupancy import init_occupancy
+
+                self.tsdf_state = init_occupancy(self.cfg.occupancy)
+            else:
+                from noetic_slam_tpu.models.tsdf import init_tsdf
+
+                self.tsdf_state = init_tsdf(self.cfg.tsdf)
         else:
             self._step = make_odometry_step(self.cfg, align_fn=align_fn)
             self.tsdf_state = None

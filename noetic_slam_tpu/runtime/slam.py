@@ -252,14 +252,21 @@ class SlamSystem:
             T=make_se3(lidar_q, lidar_p),
             submap_mask=jnp.zeros_like(st.submap_mask))
 
-        # TSDF consistency: the volume was fused at pre-closure poses;
+        # Dense-map consistency: the volume was fused at pre-closure poses;
         # re-fuse it from the deformed keyframe clouds (keyframe-rate cost,
         # one scan-step per keyframe — see tsdf.rebuild_from_keyframes).
         if self.enable_tsdf and self.odometry.tsdf_state is not None:
             st2 = self.odometry.state
-            self.odometry.tsdf_state = tsdf_mod.rebuild_from_keyframes(
-                self.cfg.tsdf, st2.kf_xyz, st2.kf_valid, st2.kf_pos,
-                st2.kf_count)
+            if self.cfg.map_backend == "occupancy":
+                from noetic_slam_tpu.models import occupancy as occ_mod
+
+                self.odometry.tsdf_state = occ_mod.rebuild_from_keyframes(
+                    self.cfg.occupancy, st2.kf_xyz, st2.kf_valid,
+                    st2.kf_pos, st2.kf_count)
+            else:
+                self.odometry.tsdf_state = tsdf_mod.rebuild_from_keyframes(
+                    self.cfg.tsdf, st2.kf_xyz, st2.kf_valid, st2.kf_pos,
+                    st2.kf_count)
 
     # --------------------------------------------------- checkpoint/resume
     def save(self, path: str) -> None:
@@ -306,10 +313,18 @@ class SlamSystem:
         return self.odometry.flush()
 
     def surface_points(self, min_weight: float = 1.0) -> np.ndarray:
-        """Extract the TSDF zero-crossing point cloud (host array)."""
+        """Extract the dense map's surface/occupied point cloud (host
+        array): TSDF zero-crossing voxels, or occupied voxels when the
+        occupancy backend is selected."""
         if self.tsdf is None:
             return np.zeros((0, 3), np.float32)
-        centers, d, mask = tsdf_mod.extract_surface(
-            self.cfg.tsdf, self.tsdf, min_weight=min_weight)
+        if self.cfg.map_backend == "occupancy":
+            from noetic_slam_tpu.models import occupancy as occ_mod
+
+            centers, _, mask = occ_mod.extract_occupied(
+                self.cfg.occupancy, self.tsdf)
+        else:
+            centers, _, mask = tsdf_mod.extract_surface(
+                self.cfg.tsdf, self.tsdf, min_weight=min_weight)
         centers, mask = jax.device_get((centers, mask))
         return centers[mask]
