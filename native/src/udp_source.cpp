@@ -167,6 +167,31 @@ int nst_udp_read_lidar(void* h, uint8_t* out, long timeout_ms) {
     return static_cast<int>(len);
 }
 
+// Drain up to max_n lidar packets into a contiguous buffer (stride =
+// lidar_size, short datagrams zero-padded). Blocks up to timeout_ms for
+// the FIRST packet, then drains whatever is queued without blocking — one
+// C call per poll instead of one per packet (the per-packet Python/ctypes
+// hop is the live path's overhead at 2048x20 rates; see
+// runtime/live.LiveDriver.poll_once).
+int nst_udp_read_lidar_many(void* h, uint8_t* out, int max_n,
+                            long timeout_ms) {
+    auto* src = static_cast<UdpSource*>(h);
+    std::vector<uint8_t> slot(4 + src->lidar_size);
+    int n = 0;
+    while (n < max_n) {
+        long t = (n == 0) ? timeout_ms : 0;
+        if (nst_ring_read(src->lidar_ring, slot.data(), t)) break;
+        uint32_t len;
+        std::memcpy(&len, slot.data(), 4);
+        uint8_t* dst = out + static_cast<size_t>(n) * src->lidar_size;
+        std::memcpy(dst, slot.data() + 4, len);
+        if (len < src->lidar_size)
+            std::memset(dst + len, 0, src->lidar_size - len);
+        ++n;
+    }
+    return n;
+}
+
 int nst_udp_read_imu(void* h, uint8_t* out, long timeout_ms) {
     auto* src = static_cast<UdpSource*>(h);
     std::vector<uint8_t> slot(4 + src->imu_size);

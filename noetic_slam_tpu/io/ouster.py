@@ -364,6 +364,54 @@ class ScanBatcher:
             s.reflectivity2[:, cols] = refl2[:, ok]
         return done
 
+    def push_many(self, buf: bytes, n_packets: int) -> list:
+        """Feed ``n_packets`` contiguous packets at once; returns the list
+        of frames completed within the chunk. One native batch parse + one
+        vectorized column write per frame-run replaces the per-packet
+        Python hop — the live path's throughput lever at 2048x20 packet
+        rates (runtime/live.LiveDriver). Dual-return profiles fall back to
+        the per-packet path (the batch parser is single-return).
+        Semantics identical to repeated push()."""
+        if n_packets == 0:
+            return []
+        if self.pf.dual_return:
+            out = []
+            sz = self.pf.lidar_packet_size
+            for p in range(n_packets):
+                done = self.push(buf[p * sz:(p + 1) * sz])
+                if done is not None:
+                    out.append(done)
+            return out
+
+        from noetic_slam_tpu.runtime import native
+
+        cols = native.parse_lidar_packets(buf, n_packets, self.pf)
+        w = self.info.columns_per_frame
+        fids = cols["frame_id"].astype(np.int32)
+        change = np.flatnonzero(np.diff(fids) != 0) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(fids)]])
+        done = []
+        for s0, s1 in zip(starts, ends):
+            fid = int(fids[s0])
+            if fid != self._frame_id and self._frame_id != -1:
+                d = self._scan
+                d.frame_id = self._frame_id
+                done.append(d)
+                self._scan = self._empty()
+            self._frame_id = fid
+            ok = (cols["status"][s0:s1] == 1) & (cols["m_id"][s0:s1] < w)
+            ci = cols["m_id"][s0:s1][ok].astype(int)
+            s = self._scan
+            s.timestamp[ci] = cols["ts"][s0:s1][ok]
+            s.status[ci] = 1
+            s.measurement_id[ci] = cols["m_id"][s0:s1][ok]
+            s.range[:, ci] = cols["range"][:, s0:s1][:, ok]
+            s.signal[:, ci] = cols["signal"][:, s0:s1][:, ok]
+            s.reflectivity[:, ci] = cols["reflectivity"][:, s0:s1][:, ok]
+            s.near_ir[:, ci] = cols["near_ir"][:, s0:s1][:, ok]
+        return done
+
     def flush(self) -> Optional[LidarScan]:
         if self._frame_id == -1:
             return None

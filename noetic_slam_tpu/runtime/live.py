@@ -87,6 +87,24 @@ class LiveDriver:
             got = True
             imu_buf = self.source.read_imu(timeout_ms=0)
 
+        # sensor/ptp stamps don't need per-packet receive times: drain a
+        # whole chunk in one native call + one batch parse (the per-packet
+        # Python hop otherwise bounds throughput at 2048x20 rates — see
+        # ScanBatcher.push_many). Host-stamp mode needs the receive time of
+        # each frame's first packet, so it keeps the per-packet path.
+        if self.timestamp_mode != "host":
+            buf, n = self.source.read_lidar_many(max_n=64,
+                                                 timeout_ms=timeout_ms)
+            if n == 0:
+                self._errors += 1
+                if self._errors >= self.max_read_errors:
+                    self._attempt_reset()
+                return got
+            self._errors = 0
+            for scan in self.batcher.push_many(buf, n):
+                self._process_frame(scan, None)
+            return True
+
         pkt = self.source.read_lidar(timeout_ms=timeout_ms)
         if pkt is None:
             self._errors += 1

@@ -87,6 +87,9 @@ def _declare(lib):
     lib.nst_udp_destroy.argtypes = [C.c_void_p]
     lib.nst_udp_read_lidar.restype = C.c_int
     lib.nst_udp_read_lidar.argtypes = [C.c_void_p, C.c_char_p, C.c_long]
+    lib.nst_udp_read_lidar_many.restype = C.c_int
+    lib.nst_udp_read_lidar_many.argtypes = [C.c_void_p, C.c_char_p,
+                                            C.c_int, C.c_long]
     lib.nst_udp_read_imu.restype = C.c_int
     lib.nst_udp_read_imu.argtypes = [C.c_void_p, C.c_char_p, C.c_long]
     lib.nst_udp_lidar_dropped.restype = C.c_uint64
@@ -202,6 +205,17 @@ class UdpSource:
         buf = C.create_string_buffer(self.lidar_packet_size)
         n = self._lib.nst_udp_read_lidar(self._h, buf, timeout_ms)
         return buf.raw[:n] if n else None
+
+    def read_lidar_many(self, max_n: int = 64,
+                        timeout_ms: int = 100):
+        """Drain up to ``max_n`` lidar packets in ONE native call.
+        Returns (contiguous buffer, n_packets) — stride = packet size,
+        short datagrams zero-padded. (0 packets -> (b"", 0).)"""
+        sz = self.lidar_packet_size
+        buf = C.create_string_buffer(sz * max_n)
+        n = self._lib.nst_udp_read_lidar_many(self._h, buf, max_n,
+                                              timeout_ms)
+        return (buf.raw[: n * sz], n) if n > 0 else (b"", 0)
 
     def read_imu(self, timeout_ms: int = 100) -> Optional[bytes]:
         buf = C.create_string_buffer(self.imu_packet_size)

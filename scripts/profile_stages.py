@@ -244,7 +244,7 @@ def main():
 
         c3 = DlioConfig(capacity=CapacityConfig(
             max_points=N_RAW, max_ds_points=N_DS, max_deskew_frames=2048,
-            max_imu_window=128, max_keyframes=128, max_submap_kf=8))
+            max_imu_window=128, max_keyframes=128, max_submap_kf=32))
         st0 = odom_mod.init_state(c3)
         rngs = np.random.default_rng(3)
         kf_xyz = rngs.uniform(-30, 30, (128, N_DS, 3)).astype(np.float32)
@@ -259,7 +259,7 @@ def main():
             mask = odom_mod.select_submap_keyframes(c3, st)
             xyz, valid, cov, cnt, _ = odom_mod.gather_submap(c3, st, mask)
             return c + jnp.sum(xyz[0]) * 1e-9 + cnt * 1e-9
-        chain_time("select+gather_submap 8x8192", f_submap, 0.0)
+        chain_time("select+gather_submap 32x8192", f_submap, 0.0)
 
     if want("step"):
         from noetic_slam_tpu.runtime.pipeline import OdometryPipeline
@@ -267,7 +267,7 @@ def main():
 
         c2 = DlioConfig(capacity=CapacityConfig(
             max_points=N_RAW, max_ds_points=N_DS, max_deskew_frames=2048,
-            max_imu_window=128, max_keyframes=128, max_submap_kf=8),
+            max_imu_window=128, max_keyframes=128, max_submap_kf=32),
             adaptive=False, keyframe=KeyframeConfig(thresh_dist=0.5))
         sim = synthetic.make_sim(duration=6.0, n_points=N_RAW,
                                  calib_time=3.1, seed=7)

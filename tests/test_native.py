@@ -112,3 +112,30 @@ def test_udp_source_loopback(lib):
         assert src.read_imu(timeout_ms=1000) == imu_pkt
     finally:
         src.close()
+
+
+def test_udp_read_lidar_many(lib):
+    """Batched drain: one native call returns all queued packets
+    contiguously (the live path's per-packet-hop elimination)."""
+    info = _simple_info()
+    pf = ou.PacketFormat(info)
+    src = native.UdpSource(47861, 0, pf.lidar_packet_size, 48)
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        pkts = []
+        for k in range(5):
+            m_ids = np.arange(8) + 8 * k
+            pkts.append(_build_packet(pf, 9, m_ids, 1000 + m_ids,
+                                      np.full((pf.h, 8), 4000 + k)))
+            tx.sendto(pkts[-1], ("127.0.0.1", 47861))
+        time.sleep(0.3)
+        buf, n = src.read_lidar_many(max_n=16, timeout_ms=1000)
+        assert n == 5
+        sz = pf.lidar_packet_size
+        for k in range(5):
+            assert buf[k * sz:(k + 1) * sz] == pkts[k]
+        # queue drained
+        buf2, n2 = src.read_lidar_many(max_n=16, timeout_ms=50)
+        assert n2 == 0 and buf2 == b""
+    finally:
+        src.close()

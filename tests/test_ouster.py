@@ -379,3 +379,39 @@ def test_dual_return_batching_and_laser_scan():
     b1 = ou.ScanBatcher(info1)
     with pytest.raises(ValueError):
         ou.scan_to_laser_scan(b1._empty(), info1, ring=0, return_idx=1)
+
+
+def test_scan_batcher_push_many_parity():
+    """push_many(chunk) must equal repeated push() — including a frame
+    rollover mid-chunk, out-of-order measurement ids, and invalid-status
+    columns."""
+    info = _simple_info(h=8, w=32)
+    pf = ou.PacketFormat(info)
+    rng = np.random.default_rng(3)
+
+    def frame(fid, drop_col=None):
+        pkts = []
+        for p in range(4):
+            m_ids = np.arange(8) + 8 * p
+            ts = 10_000 * fid + m_ids * 10
+            rngs = rng.integers(100, 50_000, (pf.h, 8))
+            b = bytearray(_build_packet(pf, fid, m_ids, ts, rngs))
+            if drop_col is not None and p == drop_col:
+                base = pf.packet_header_size + 3 * pf.col_size
+                b[base + 10:base + 12] = (0).to_bytes(2, "little")
+            pkts.append(bytes(b))
+        return pkts
+
+    stream = frame(1) + frame(2, drop_col=1) + frame(3)
+    b1, b2 = ou.ScanBatcher(info), ou.ScanBatcher(info)
+    done1 = [d for p in stream if (d := b1.push(p)) is not None]
+    done2 = b2.push_many(b"".join(stream), len(stream))
+    assert len(done1) == len(done2) == 2
+    for d1, d2 in zip(done1, done2):
+        assert d1.frame_id == d2.frame_id
+        np.testing.assert_array_equal(d1.range, d2.range)
+        np.testing.assert_array_equal(d1.timestamp, d2.timestamp)
+        np.testing.assert_array_equal(d1.status, d2.status)
+        np.testing.assert_array_equal(d1.signal, d2.signal)
+    f1, f2 = b1.flush(), b2.flush()
+    np.testing.assert_array_equal(f1.range, f2.range)
