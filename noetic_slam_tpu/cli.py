@@ -72,6 +72,53 @@ def cmd_slam(args) -> int:
                            max_scans=args.max_scans)
         print("bag replay:", stats)
         gt = None
+    elif args.pcap:
+        # Ouster capture replay: packets -> ScanBatcher -> XYZ LUT ->
+        # odometry (the OusterReplay nodelet role, os_replay_nodelet.cpp).
+        from noetic_slam_tpu.io import ouster as ou
+        from noetic_slam_tpu.io.pcap import replay_pcap_scans
+        from noetic_slam_tpu.runtime.pipeline import NeedMoreImu
+
+        if not args.metadata:
+            p_err = "slam --pcap requires --metadata JSON"
+            raise SystemExit(p_err)
+        info = ou.SensorInfo.from_json(open(args.metadata).read())
+        direction, offset = ou.make_xyz_lut(info)
+        n_scans = 0
+        pending = None
+
+        def do_scan(scan):
+            nonlocal n_scans
+            xyz, rel_t, valid, scan_ts = ou.scan_to_points(
+                scan, direction, offset)
+            xyz = np.where(valid[:, None], xyz, np.float32(np.nan))
+            slam.process_scan(scan_ts * 1e-9, xyz,
+                              rel_t.astype(np.float64))
+            n_scans += 1
+            if args.loop_every and n_scans % args.loop_every == 0:
+                slam.maybe_close_loop()
+
+        for ev in replay_pcap_scans(args.pcap, info):
+            if ev[0] == "imu":
+                _, ts_ns, accel, gyro = ev
+                slam.push_imu(ts_ns * 1e-9, gyro, accel)
+                if pending is not None:
+                    try:
+                        do_scan(pending)
+                        pending = None
+                    except NeedMoreImu:
+                        pass
+            else:
+                if not slam.calibrated:
+                    continue
+                try:
+                    do_scan(ev[2])
+                except NeedMoreImu:
+                    pending = ev[2]
+            if args.max_scans and n_scans >= args.max_scans:
+                break
+        print(f"pcap replay: {n_scans} scans")
+        gt = None
     elif args.mulran:
         from noetic_slam_tpu.io.mulran import MulranDataset
 
@@ -306,6 +353,8 @@ def main(argv=None) -> int:
     ps = sub.add_parser("slam", help="run SLAM over a dataset")
     ps.add_argument("--mulran", help="MulRan sequence directory")
     ps.add_argument("--bag", help="ROS1 bag file")
+    ps.add_argument("--pcap", help="Ouster UDP capture (pcap/pcapng)")
+    ps.add_argument("--metadata", help="sensor metadata JSON (with --pcap)")
     ps.add_argument("--pcl-topic", default=None,
                     help="PointCloud2 topic (default: auto by type)")
     ps.add_argument("--imu-topic", default=None)
@@ -376,8 +425,8 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
     if args.cmd == "slam" and not (args.mulran or args.synthetic
-                                   or args.bag):
-        p.error("slam requires --mulran DIR, --bag FILE or "
+                                   or args.bag or args.pcap):
+        p.error("slam requires --mulran DIR, --bag FILE, --pcap FILE or "
                 "--synthetic SECONDS")
     return args.fn(args)
 
