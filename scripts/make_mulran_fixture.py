@@ -57,8 +57,12 @@ def still_then(pose_fn, hold: float, ramp: float = 1.0):
 
 def write_fixture(out: str, duration: float = 8.0, hold: float = 3.5,
                   n_points: int = 2048, seed: int = 42,
-                  imu_hz: float = 100.0, scan_hz: float = 10.0) -> dict:
-    fn = still_then(synthetic._pose_of, hold)
+                  imu_hz: float = 100.0, scan_hz: float = 10.0,
+                  pose_fn=None) -> dict:
+    """``pose_fn`` overrides the driving trajectory (e.g.
+    synthetic.loop_pose_of for a closed loop); the stationary calibration
+    hold is prepended either way."""
+    fn = still_then(pose_fn or synthetic._pose_of, hold)
     sim = synthetic.make_sim(duration=hold + duration, imu_hz=imu_hz,
                              scan_hz=scan_hz, n_points=n_points,
                              calib_time=0.0, seed=seed, pose_fn=fn)
