@@ -93,10 +93,16 @@ def _beam_samples(cfg: OccupancyConfig, points: Array, valid: Array,
 
 
 def _integrate_deltas(cfg: OccupancyConfig, state: OccupancyState,
-                      pos: Array, delta: Array) -> OccupancyState:
+                      pos: Array, delta: Array,
+                      use_kernel: bool | None = None,
+                      interpret: bool = False) -> OccupancyState:
     """Fuse one batch of (position, log-odds delta) samples — the same
     sort/runs/join skeleton as tsdf._integrate_samples with an additive
-    clamped payload (see module docstring)."""
+    clamped payload (see module docstring). On TPU the payload update runs
+    in the Pallas log-odds kernel (ops/pallas/tsdf_kernel.logodds_accumulate,
+    same block decomposition as the TSDF accumulate); elsewhere the XLA
+    scatter-add + full clamp (identical results — the clamp is idempotent
+    on untouched rows)."""
     C = state.logodds.shape[0]
     S = pos.shape[0]
     vx = jnp.floor(pos / cfg.voxel_size).astype(jnp.int32)
@@ -117,13 +123,20 @@ def _integrate_deltas(cfg: OccupancyConfig, state: OccupancyState,
     pos_key = jnp.where(first_blk, blk_rank, jnp.int32(S))
     _, pos_sorted = jax.lax.sort(
         (pos_key, jnp.arange(S, dtype=jnp.int32)), num_keys=1)
-    k_take = min(A, S)
-    cand_pos = jnp.full((A,), S, jnp.int32).at[:k_take].set(
+    k_take = min(A + 1, S)
+    pos_arr = jnp.full((A + 1,), S, jnp.int32).at[:k_take].set(
         pos_sorted[:k_take])
-    cand_pos = jnp.where(jnp.arange(A) < n_runs, cand_pos, S)
+    pos_arr = jnp.where(jnp.arange(A + 1) < n_runs, pos_arr, S)
+    rank_overflow = jnp.maximum(n_runs - A, 0)
+
+    # candidate keys + sample ranges ([start, start+cnt) in the sorted
+    # stream; pad_start = first padded sample)
+    cand_pos = pos_arr[:A]
     cand = jnp.where(cand_pos < S, gk_s[jnp.clip(cand_pos, 0, S - 1)],
                      _KEY_PAD)
-    rank_overflow = jnp.maximum(n_runs - A, 0)
+    pad_start = jnp.sum(gk_s != _KEY_PAD).astype(jnp.int32)
+    start = jnp.minimum(cand_pos, pad_start)
+    cnt = jnp.clip(jnp.minimum(pos_arr[1:], pad_start) - start, 0, S)
 
     # directory probe + merge of new blocks
     slot_probe = _lookup_join(state.dir_keys, state.dir_slots, cand)
@@ -145,7 +158,38 @@ def _integrate_deltas(cfg: OccupancyConfig, state: OccupancyState,
     slot_cand = jnp.where(hit, slot_probe,
                           jnp.where(ok_new, slot_new, -1))
 
-    # scatter-add the deltas, then the scan-granularity clamp
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from noetic_slam_tpu.ops.pallas.tsdf_kernel import logodds_accumulate
+
+        # Kernel ordering contract (tsdf_kernel docstring): padding entries
+        # (cnt = 0) first, mapped to the FIRST real row; real entries in
+        # ascending row order.
+        real = (slot_cand >= 0) & (cnt > 0)
+        sort_key = jnp.where(real, slot_cand, -1)
+        order = jnp.argsort(sort_key, stable=True)
+        rows_o = sort_key[order]
+        n_pad = jnp.sum(rows_o < 0)
+        first_real = rows_o[jnp.clip(n_pad, 0, A - 1)]
+        first_real = jnp.maximum(first_real, 0)      # all-padding case
+        rows = jnp.where(rows_o < 0, first_real, rows_o)
+        starts = jnp.where(rows_o < 0, 0, start[order])
+        cnts = jnp.where(rows_o < 0, 0, cnt[order])
+        pad_s = (-S) % 512
+        if pad_s:
+            iv_p = jnp.concatenate([iv_s, jnp.zeros((pad_s,), iv_s.dtype)])
+            dl_p = jnp.concatenate([dl_s, jnp.zeros((pad_s,), dl_s.dtype)])
+        else:
+            iv_p, dl_p = iv_s, dl_s
+        lo2 = logodds_accumulate(state.logodds, rows, starts, cnts,
+                                 iv_p, dl_p, cfg.l_min, cfg.l_max,
+                                 interpret=interpret)
+        return state._replace(dir_keys=keys2, dir_slots=slots2,
+                              num_blocks=num2, dropped=dropped2,
+                              logodds=lo2)
+
+    # XLA fallback: scatter-add the deltas, then the scan-granularity clamp
     sample_slot = jnp.where(
         (gk_s != _KEY_PAD) & (blk_rank < A),
         slot_cand[jnp.clip(blk_rank, 0, A - 1)], -1)

@@ -101,6 +101,101 @@ def _accum_kernel(rows_ref, starts_ref, cnts_ref, ivox_ref, w_ref, wd_ref,
     wsout_ref[...] = scr_wd[...]
 
 
+def _logodds_kernel(rows_ref, starts_ref, cnts_ref, ivox_ref, dl_ref,
+                    lin_ref, lout_ref, scr_l, *, l_min: float, l_max: float):
+    """Occupancy variant of _accum_kernel: single-channel additive payload
+    (log-odds deltas) with a two-sided clamp folded into the row write.
+    Same grid decomposition, ordering contract, and row-group scratch
+    carry; the clamp is idempotent on untouched rows (they are already
+    inside [l_min, l_max]), so group-granular writes are safe."""
+    b = pl.program_id(0)
+    row = rows_ref[b]
+    start = starts_ref[b]
+    cnt = cnts_ref[b]
+    g = row % _GROUP
+    prev_row = rows_ref[jnp.maximum(b - 1, 0)]
+    new_group = (b == 0) | (prev_row // _GROUP != row // _GROUP)
+
+    @pl.when(new_group)
+    def _():
+        scr_l[...] = lin_ref[...]
+
+    c0 = start // _CHUNK
+    c1 = (start + cnt + _CHUNK - 1) // _CHUNK
+
+    iota_vox = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
+
+    def body(k, acc):
+        iv = ivox_ref[k, :].reshape(_CHUNK, 1)
+        flat = k * _CHUNK + iota_s
+        m = (flat >= start) & (flat < start + cnt)
+        oh = ((iv == iota_vox) & m).astype(jnp.float32)
+        u = dl_ref[k, :].reshape(1, _CHUNK)
+        return acc + jax.lax.dot_general(
+            u, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)            # (1, vox)
+
+    acc = jax.lax.fori_loop(c0, c1, body,
+                            jnp.zeros((1, _CHUNK), jnp.float32))
+
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (_GROUP, 1), 0)
+            == g).astype(jnp.float32)
+    scr_l[...] = jnp.clip(scr_l[...] + mask * acc[0:1], l_min, l_max)
+    lout_ref[...] = scr_l[...]
+
+
+@partial(jax.jit, static_argnames=("l_min", "l_max", "interpret"))
+def logodds_accumulate(logodds: Array, rows: Array, starts: Array,
+                       cnts: Array, ivox: Array, delta: Array,
+                       l_min: float, l_max: float, *,
+                       interpret: bool = False):
+    """Accumulate sorted block-major log-odds deltas + two-sided clamp.
+
+    Occupancy-backend counterpart of ``block_accumulate``: same sorted
+    sample stream / candidate-entry ordering contract (padding entries
+    first carrying the first real row, real entries in ascending row
+    order), single (C, 512) payload updated as
+    clip(logodds + Σ delta, l_min, l_max) on the listed rows' groups.
+    """
+    C, V = logodds.shape
+    assert V == _CHUNK and ivox.shape[0] % _CHUNK == 0
+    assert C % _GROUP == 0
+    nc = ivox.shape[0] // _CHUNK
+    A = rows.shape[0]
+
+    lg = logodds.reshape(C // _GROUP, _GROUP, V)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(A,),
+        in_specs=[
+            pl.BlockSpec((nc, _CHUNK), lambda b, r, s, c: (0, 0)),  # ivox
+            pl.BlockSpec((nc, _CHUNK), lambda b, r, s, c: (0, 0)),  # delta
+            pl.BlockSpec((1, _GROUP, V),
+                         lambda b, r, s, c: (r[b] // _GROUP, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _GROUP, V),
+                         lambda b, r, s, c: (r[b] // _GROUP, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, _GROUP, V), jnp.float32),
+        ],
+    )
+    (out_l,) = pl.pallas_call(
+        partial(_logodds_kernel, l_min=l_min, l_max=l_max),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C // _GROUP, _GROUP, V),
+                                        jnp.float32)],
+        input_output_aliases={5: 0},                 # logodds -> out0
+        interpret=interpret,
+    )(rows, starts, cnts,
+      ivox.reshape(nc, _CHUNK), delta.reshape(nc, _CHUNK), lg)
+    return out_l.reshape(C, V)
+
+
 @partial(jax.jit,
          static_argnames=("max_weight", "interpret"))
 def block_accumulate(weight: Array, wsum: Array, rows: Array, starts: Array,
