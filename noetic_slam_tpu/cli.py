@@ -344,6 +344,83 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Data-parallel multi-sequence odometry: B sequences advance in
+    lockstep through ONE vmapped step, batch axis sharded over the device
+    mesh (runtime/multi). The reference runs one bag per process tree
+    (roslaunch); here N bags are one SPMD program — BASELINE.json's
+    "city-scale multi-bag mapping" scaling config as a CLI."""
+    import jax
+    import numpy as np
+
+    from noetic_slam_tpu.config.params import load_config
+    from noetic_slam_tpu.io.export import write_tum_trajectory
+    from noetic_slam_tpu.parallel.mesh import make_mesh
+    from noetic_slam_tpu.runtime.multi import (ArrayFeed,
+                                               MultiSequencePipeline,
+                                               run_lockstep)
+    from noetic_slam_tpu.utils.synthetic import ate_rmse
+
+    cfg = load_config(args.config)
+    os.makedirs(args.out, exist_ok=True)
+    feeds, names, gts = [], [], []
+    for d in args.mulran or []:
+        from noetic_slam_tpu.io.mulran import MulranDataset
+
+        ds = MulranDataset.load(d)
+        feeds.append(ArrayFeed.from_dataset(ds, max_scans=args.max_scans))
+        base = os.path.basename(os.path.normpath(d)) or "seq"
+        names.append(f"{len(names):02d}_{base}")
+        gts.append(None if ds.gt_stamps is None else np.column_stack(
+            [ds.gt_stamps, ds.gt_poses[:, :, 3]]))
+    for k in range(args.synthetic):
+        from noetic_slam_tpu.utils import synthetic
+
+        sim = synthetic.make_sim(duration=args.duration, calib_time=3.1,
+                                 n_points=4096, seed=100 + k)
+        scans = [sim.scan(i) for i in range(len(sim.scan_stamps))]
+        feeds.append(ArrayFeed(sim.imu_stamps, sim.imu_ang, sim.imu_acc,
+                               sim.scan_stamps,
+                               lambda i, sc=scans: sc[i],
+                               max_scans=args.max_scans))
+        names.append(f"{len(names):02d}_synthetic")
+        gts.append(np.column_stack([sim.gt_stamps, sim.gt_pos]))
+
+    B = len(feeds)
+    if B == 0:
+        print("no sequences given (--mulran and/or --synthetic)",
+              file=sys.stderr)
+        return 2
+    D = args.devices or len(jax.devices())
+    while B % D:
+        D -= 1                      # largest mesh size dividing B
+    mesh = make_mesh(D, axis="batch") if D > 1 else None
+    print(f"batch: {B} sequences over {D} device(s)")
+
+    t0 = time.perf_counter()
+    mp = MultiSequencePipeline(cfg, n_seq=B, mesh=mesh)
+    trajs = run_lockstep(mp, feeds)
+    wall = time.perf_counter() - t0
+
+    per_seq = []
+    total = 0
+    for name, traj, gt in zip(names, trajs, gts):
+        entry = {"name": name, "n_poses": int(len(traj))}
+        if len(traj):
+            write_tum_trajectory(
+                os.path.join(args.out, f"{name}.tum"), traj)
+            if gt is not None:
+                entry["ate_rmse_m"] = round(float(ate_rmse(
+                    traj[:, 0], traj[:, 1:4], gt[:, 0], gt[:, 1:4])), 4)
+        total += entry["n_poses"]
+        per_seq.append(entry)
+    print(json.dumps({"sequences": per_seq, "devices": D,
+                      "rounds": mp.rounds, "total_poses": total,
+                      "wall_s": round(wall, 2),
+                      "scans_per_sec": round(total / max(wall, 1e-9), 2)}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="noetic_slam_tpu",
                                 description=__doc__,
@@ -386,6 +463,23 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="synthetic benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    pbt = sub.add_parser(
+        "batch", help="data-parallel multi-sequence SLAM: N bags as one "
+                      "SPMD program over the device mesh")
+    pbt.add_argument("--mulran", action="append", default=[],
+                     help="MulRan sequence directory (repeatable)")
+    pbt.add_argument("--synthetic", type=int, default=0,
+                     help="add N synthetic sequences")
+    pbt.add_argument("--duration", type=float, default=10.0,
+                     help="synthetic sequence duration [s]")
+    pbt.add_argument("--config", default=None)
+    pbt.add_argument("--out", default="out_batch")
+    pbt.add_argument("--max-scans", type=int, default=None)
+    pbt.add_argument("--devices", type=int, default=0,
+                     help="mesh size (0 = all local devices; rounded down "
+                          "to a divisor of the sequence count)")
+    pbt.set_defaults(fn=cmd_batch)
 
     pi = sub.add_parser("info", help="print config + devices")
     pi.add_argument("--config", default=None)
