@@ -399,8 +399,15 @@ def cmd_batch(args) -> int:
 
     t0 = time.perf_counter()
     mp = MultiSequencePipeline(cfg, n_seq=B, mesh=mesh)
+    if args.resume:
+        mp.load(args.resume, feeds)
+        print(f"resumed from {args.resume} at round {mp.rounds}")
     trajs = run_lockstep(mp, feeds)
     wall = time.perf_counter() - t0
+    if args.checkpoint:
+        ck = os.path.join(args.out, "batch_state.nst.npz")
+        mp.save(ck, feeds)
+        print(f"checkpoint -> {ck}")
 
     per_seq = []
     total = 0
@@ -479,6 +486,12 @@ def main(argv=None) -> int:
     pbt.add_argument("--devices", type=int, default=0,
                      help="mesh size (0 = all local devices; rounded down "
                           "to a divisor of the sequence count)")
+    pbt.add_argument("--checkpoint", action="store_true",
+                     help="write batch_state.nst.npz (all sequences + feed "
+                          "cursors) at the end")
+    pbt.add_argument("--resume", default=None,
+                     help="resume a multi-bag run from a batch checkpoint "
+                          "(TUM outputs then cover the post-resume part)")
     pbt.set_defaults(fn=cmd_batch)
 
     pi = sub.add_parser("info", help="print config + devices")

@@ -164,13 +164,84 @@ class MultiSequencePipeline:
             for i in range(self.n_seq):
                 self.flush(i)
 
+    # -------------------------------------------------------- checkpointing
+    def save(self, path: str, feeds=None) -> None:
+        """Checkpoint all sequences (device states + per-sequence host
+        bookkeeping + optional feed cursors) into one ``.nst.npz`` — the
+        multi-bag counterpart of checkpoint.save_pipeline. A crash in an
+        N-bag run resumes mid-every-sequence."""
+        import json as _json
+
+        from noetic_slam_tpu.runtime.checkpoint import _pack
+
+        out: dict = {}
+        seq_host = []
+        for i, f in enumerate(self.frontends):
+            st = (pbatch.unstack_state(self.state, i)
+                  if self.state is not None else f.state)
+            if st is not None:
+                _pack(f"odom{i}", st, out)
+            seq_host.append({
+                "prev_header": f.prev_header,
+                "headers": f.headers,
+                "first_scan_stamp": f.first_scan_stamp,
+                "flushed_scans": f._flushed_scans,
+                "calibrated": f.calibrated,
+                "imu_stamps": np.asarray(f._imu_stamps).tolist(),
+                "imu_ang": np.asarray(f._imu_ang).tolist(),
+                "imu_acc": np.asarray(f._imu_acc).tolist(),
+            })
+        host = {"n_seq": self.n_seq, "rounds": self.rounds,
+                "seq": seq_host,
+                "feed_cursors": ([fd.cursor() for fd in feeds]
+                                 if feeds is not None else None)}
+        out["host/json"] = np.frombuffer(
+            _json.dumps(host).encode(), dtype=np.uint8)
+        np.savez_compressed(path, **out)
+
+    def load(self, path: str, feeds=None) -> None:
+        """Restore a checkpoint written by ``save`` into a pipeline built
+        with the same config/n_seq; with ``feeds``, their cursors are
+        restored too. The stacked device state re-forms (and re-shards)
+        lazily on the next step_round."""
+        import json as _json
+
+        from noetic_slam_tpu.models.odometry import OdomState
+        from noetic_slam_tpu.runtime.checkpoint import _unpack
+
+        data = np.load(path, allow_pickle=False)
+        host = _json.loads(bytes(data["host/json"]).decode())
+        assert host["n_seq"] == self.n_seq, \
+            f"checkpoint has {host['n_seq']} sequences, pipeline {self.n_seq}"
+        self.rounds = int(host["rounds"])
+        self.state = None
+        for i, (f, h) in enumerate(zip(self.frontends, host["seq"])):
+            f.state = _unpack(f"odom{i}", OdomState, data)
+            f.prev_header = h.get("prev_header")
+            f.headers = list(h.get("headers", []))
+            f.first_scan_stamp = h.get("first_scan_stamp")
+            f._flushed_scans = int(h.get("flushed_scans", 0))
+            f.trajectory = f.trajectory[: f._flushed_scans]
+            f.calibrated = bool(h.get("calibrated", True))
+            f._imu_stamps = np.asarray(h.get("imu_stamps", []), np.float64)
+            f._imu_ang = np.asarray(h.get("imu_ang", []),
+                                    np.float64).reshape(-1, 3)
+            f._imu_acc = np.asarray(h.get("imu_acc", []),
+                                    np.float64).reshape(-1, 3)
+        cursors = host.get("feed_cursors")
+        if feeds is not None and cursors is not None:
+            for fd, cur in zip(feeds, cursors):
+                fd.seek(*cur)
+
     # ------------------------------------------------------------- results
     def flush(self, i: int) -> np.ndarray:
         """Per-sequence trajectory (T, 8): stamp, p, q — one bulk fetch of
         sequence i's ring through the frontend's flush bookkeeping."""
         f = self.frontends[i]
         if self.state is None:
-            return np.zeros((0, 8))
+            if f.state is None:           # neither stacked nor restored
+                return np.zeros((0, 8))
+            return f.flush()              # post-load, pre-restart state
         f.state = pbatch.unstack_state(self.state, i)
         try:
             return f.flush()
@@ -215,6 +286,13 @@ class ArrayFeed:
         """utils.synthetic.Sim feed (per-point times included)."""
         return cls(sim.imu_stamps, sim.imu_ang, sim.imu_acc, sim.scan_stamps,
                    sim.scan, max_scans=max_scans)
+
+    def cursor(self) -> Tuple[int, int]:
+        """(scan cursor, imu cursor) — for checkpointed resume."""
+        return (self._scan_i, self._imu_i)
+
+    def seek(self, scan_i: int, imu_i: int) -> None:
+        self._scan_i, self._imu_i = int(scan_i), int(imu_i)
 
     def _push_through(self, push, through: float) -> None:
         while (self._imu_i < len(self.imu_stamps)

@@ -189,3 +189,39 @@ def test_cli_batch_mulran(tmp_path):
     assert len(tums) == 2
     rows = np.loadtxt(out / tums[0])
     assert len(rows) >= 20
+
+
+def test_checkpoint_resume_matches_uninterrupted(sims, tmp_path):
+    """Kill-and-resume a 2-sequence batched run mid-stream: the combined
+    (pre-save flushed + post-resume) trajectories must equal the
+    uninterrupted run exactly (state round-trips bitwise; same program)."""
+    cfg = _cfg()
+    mp0 = MultiSequencePipeline(cfg, n_seq=2)
+    full = run_lockstep(mp0, [_feed(s) for s in sims])
+
+    mp1 = MultiSequencePipeline(cfg, n_seq=2)
+    feeds = [_feed(s) for s in sims]
+
+    def pull(i):
+        return feeds[i].next_ready_scan(
+            mp1.frontends[i], lambda s, a, c, i=i: mp1.push_imu(i, s, a, c))
+
+    for _ in range(4):
+        mp1.step_round([pull(0), pull(1)])
+    part1 = [mp1.flush(0).copy(), mp1.flush(1).copy()]
+    path = str(tmp_path / "batch.nst.npz")
+    mp1.save(path, feeds)
+    del mp1
+
+    mp2 = MultiSequencePipeline(cfg, n_seq=2)     # "new process"
+    feeds2 = [_feed(s) for s in sims]
+    mp2.load(path, feeds2)
+    assert mp2.rounds == 4
+    part2 = run_lockstep(mp2, feeds2)
+
+    for i in range(2):
+        comb = np.vstack([part1[i], part2[i]])
+        assert len(comb) == len(full[i])
+        np.testing.assert_allclose(comb[:, 1:4], full[i][:, 1:4],
+                                   atol=1e-6)
+        np.testing.assert_allclose(comb[:, 0], full[i][:, 0], atol=1e-9)
