@@ -402,7 +402,8 @@ def cmd_batch(args) -> int:
     if args.resume:
         mp.load(args.resume, feeds)
         print(f"resumed from {args.resume} at round {mp.rounds}")
-    trajs = run_lockstep(mp, feeds)
+    trajs = run_lockstep(mp, feeds,
+                         rounds_per_dispatch=args.rounds_per_dispatch)
     wall = time.perf_counter() - t0
     if args.checkpoint:
         ck = os.path.join(args.out, "batch_state.nst.npz")
@@ -486,6 +487,9 @@ def main(argv=None) -> int:
     pbt.add_argument("--devices", type=int, default=0,
                      help="mesh size (0 = all local devices; rounded down "
                           "to a divisor of the sequence count)")
+    pbt.add_argument("--rounds-per-dispatch", type=int, default=1,
+                     help="lockstep rounds per device dispatch (lax.scan "
+                          "micro-batching; offline throughput mode)")
     pbt.add_argument("--checkpoint", action="store_true",
                      help="write batch_state.nst.npz (all sequences + feed "
                           "cursors) at the end")

@@ -63,6 +63,12 @@ class MultiSequencePipeline:
                 self.cfg, mesh=mesh, batch_axis=batch_axis)
         else:
             self._step = pbatch.make_batched_odometry_step(self.cfg)
+        # Unjitted vmapped step for the K-round lax.scan driver
+        # (step_rounds); jitted per K on first use.
+        from noetic_slam_tpu.models.odometry import make_odometry_step
+
+        self._vstep_raw = jax.vmap(make_odometry_step(self.cfg))
+        self._scan_cache: dict = {}
         # Frontends carry host-side IMU/calibration/packing; their device
         # step is never used (jit=False keeps construction cheap).
         self.frontends = [OdometryPipeline(self.cfg, jit=False)
@@ -97,15 +103,13 @@ class MultiSequencePipeline:
         self.state = st
 
     def _pack_idle(self, f: OdometryPipeline):
-        """Idle input: zero-point scan at the previous header
-        (header_delta = 0) — takes the device step's skip branch and leaves
-        the sequence's pose/time state unchanged (empty IMU/prop windows:
-        sweep_end <= the propagation boundary, so no interval re-applies).
-        For a sequence that never produced a scan, a fully-synthetic inert
-        input is built directly (no IMU-coverage precondition)."""
-        if f.prev_header is not None:
-            return f._pack_scan(f.prev_header, np.zeros((0, 3), np.float32),
-                                None, 0.0)
+        """Fully-synthetic inert input for a sequence that never produced a
+        scan (no IMU-coverage precondition). Sequences WITH a previous
+        header idle through _pack_round's zero-point scan at that header
+        (header_delta = 0) instead — either way the device step's skip
+        branch leaves the sequence's pose/time state unchanged (empty
+        IMU/prop windows: sweep_end <= the propagation boundary, so no
+        interval re-applies)."""
         cap = self.cfg.capacity
         n, M = cap.max_points, cap.max_imu_window
         imu = np.zeros((M, 7), np.float32)
@@ -120,6 +124,41 @@ class MultiSequencePipeline:
             scalars = np.array(head + [0.0], np.float32)
         return points, imu, scalars, pts_t
 
+    def _pack_round(self, scans: Sequence[ScanItem], prevs: list):
+        """Pack one round's B inputs; ``prevs`` (per-sequence previous
+        header, mutated in place) threads header deltas across rounds
+        packed ahead of one dispatch."""
+        packed = []
+        for j, (f, item) in enumerate(zip(self.frontends, scans)):
+            if item is None:
+                if prevs[j] is not None:
+                    packed.append(f._pack_scan(
+                        prevs[j], np.zeros((0, 3), np.float32), None, 0.0))
+                else:
+                    packed.append(self._pack_idle(f))
+            else:
+                header, xyz, pt = item
+                delta = 0.0 if prevs[j] is None else header - prevs[j]
+                packed.append(f._pack_scan(header, xyz, pt, delta))
+                prevs[j] = header
+        return packed
+
+    def _multi_round(self, K: int):
+        """Jitted K-round driver: ONE dispatch advances the stacked state
+        through K lockstep rounds via lax.scan of the vmapped step (the
+        multi-sequence analogue of OdometryPipeline._multi_step)."""
+        fn = self._scan_cache.get(K)
+        if fn is None:
+            vstep = self._vstep_raw
+
+            def run(state, inputs):
+                return jax.lax.scan(
+                    lambda st, inp: vstep(st, inp), state, inputs)
+
+            fn = jax.jit(run, donate_argnums=(0,))
+            self._scan_cache[K] = fn
+        return fn
+
     def step_round(self, scans: Sequence[ScanItem]) -> None:
         """Advance every sequence one step: real scans where provided,
         idle steps for ``None`` entries. One stacked upload + one dispatch.
@@ -128,39 +167,58 @@ class MultiSequencePipeline:
         sweep is not yet covered by that sequence's IMU buffer — feed more
         IMU and retry, or pass None to idle the sequence this round.
         """
-        assert len(scans) == self.n_seq
+        self.step_rounds([scans])
+
+    def step_rounds(self, rounds: Sequence[Sequence[ScanItem]]) -> None:
+        """Advance every sequence through K lockstep rounds in ONE device
+        dispatch (stacked (K, B, ...) upload + lax.scan of the vmapped
+        step) — the offline-throughput mode; semantics identical to K
+        step_round calls."""
+        if not rounds:
+            return
+        assert all(len(r) == self.n_seq for r in rounds)
         self._ensure_state()
 
-        packed = []
-        for f, item in zip(self.frontends, scans):
-            if item is None:
-                packed.append(self._pack_idle(f))
-            else:
-                header, xyz, pt = item
-                delta = (0.0 if f.prev_header is None
-                         else header - f.prev_header)
-                packed.append(f._pack_scan(header, xyz, pt, delta))
+        prevs = [f.prev_header for f in self.frontends]
+        all_packed = []
+        headers_per_round = []
+        for scans in rounds:
+            all_packed.append(self._pack_round(scans, prevs))
+            headers_per_round.append(list(prevs))
+
+        K = len(rounds)
+
+        def stack(sel):
+            a = np.stack([[p[sel] for p in rp] for rp in all_packed])
+            return jnp.asarray(a if K > 1 else a[0])
 
         inp = StepInput(
-            points=jnp.asarray(np.stack([p[0] for p in packed])),
-            imu=jnp.asarray(np.stack([p[1] for p in packed])),
-            scalars=jnp.asarray(np.stack([p[2] for p in packed])),
-            pt=(None if packed[0][3] is None
-                else jnp.asarray(np.stack([p[3] for p in packed]))))
-        if self.mesh is not None:
-            inp = pbatch.shard_batched(self.mesh, inp, self.batch_axis)
-        self.state, _out = self._step(self.state, inp)
+            points=stack(0), imu=stack(1), scalars=stack(2),
+            pt=(None if all_packed[0][0][3] is None else stack(3)))
+        if K == 1:
+            if self.mesh is not None:
+                inp = pbatch.shard_batched(self.mesh, inp, self.batch_axis)
+            self.state, _out = self._step(self.state, inp)
+        else:
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
 
-        for f, item in zip(self.frontends, scans):
-            if item is not None:
-                header = item[0]
-                if f.first_scan_stamp is None:
-                    f.first_scan_stamp = header
-                f.prev_header = header
-            f.headers.append(f.prev_header)
-        self.rounds += 1
+                sh = NamedSharding(self.mesh, P(None, self.batch_axis))
+                inp = jax.device_put(
+                    inp, jax.tree.map(lambda _: sh, inp))
+            self.state, _outs = self._multi_round(K)(self.state, inp)
+
+        for r, scans in enumerate(rounds):
+            for j, (f, item) in enumerate(zip(self.frontends, scans)):
+                if item is not None and f.first_scan_stamp is None:
+                    f.first_scan_stamp = item[0]
+                f.headers.append(headers_per_round[r][j])
+        for j, f in enumerate(self.frontends):
+            f.prev_header = prevs[j]
+        self.rounds += K
         # Trajectory-ring guard (device ring holds max_trajectory rows).
-        if self.rounds % (self.cfg.capacity.max_trajectory // 2) == 0:
+        if (self.rounds % (self.cfg.capacity.max_trajectory // 2)) < K:
             for i in range(self.n_seq):
                 self.flush(i)
 
@@ -323,15 +381,20 @@ class ArrayFeed:
         return None
 
 
-def run_lockstep(mp: MultiSequencePipeline, feeds) -> List[np.ndarray]:
+def run_lockstep(mp: MultiSequencePipeline, feeds,
+                 rounds_per_dispatch: int = 1) -> List[np.ndarray]:
     """Drive B feeds (ArrayFeed protocol) through a MultiSequencePipeline
     to completion; returns the per-sequence trajectories.
 
     Exhausted sequences idle (zero-point skip steps) until every sequence
     is done, so the batched state keeps advancing in lockstep.
+    ``rounds_per_dispatch`` > 1 submits K rounds per device dispatch
+    (step_rounds) — the offline-throughput mode (host-side pulls are
+    device-independent, so pre-pulling K rounds is semantics-preserving).
     """
     n = mp.n_seq
     assert len(feeds) == n
+    R = max(1, rounds_per_dispatch)
 
     def pull(i):
         return feeds[i].next_ready_scan(
@@ -340,8 +403,12 @@ def run_lockstep(mp: MultiSequencePipeline, feeds) -> List[np.ndarray]:
 
     pending = [pull(i) for i in range(n)]
     while any(p is not None for p in pending):
-        round_scans: List[ScanItem] = list(pending)
-        mp.step_round(round_scans)
-        pending = [pull(i) if pending[i] is not None else None
-                   for i in range(n)]
+        batch_rounds: List[List[ScanItem]] = []
+        for _ in range(R):
+            if not any(p is not None for p in pending):
+                break
+            batch_rounds.append(list(pending))
+            pending = [pull(i) if pending[i] is not None else None
+                       for i in range(n)]
+        mp.step_rounds(batch_rounds)
     return [mp.flush(i) for i in range(n)]

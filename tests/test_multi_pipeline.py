@@ -225,3 +225,20 @@ def test_checkpoint_resume_matches_uninterrupted(sims, tmp_path):
         np.testing.assert_allclose(comb[:, 1:4], full[i][:, 1:4],
                                    atol=1e-6)
         np.testing.assert_allclose(comb[:, 0], full[i][:, 0], atol=1e-9)
+
+
+def test_multi_round_dispatch_parity(sims):
+    """K rounds per dispatch (lax.scan of the vmapped step) == one round
+    per dispatch, including ragged tails (idle padding inside a K-batch)."""
+    cfg = _cfg()
+    mp1 = MultiSequencePipeline(cfg, n_seq=2)
+    one = run_lockstep(mp1, [_feed(sims[0]), _feed(sims[1], max_scans=7)])
+
+    mp3 = MultiSequencePipeline(cfg, n_seq=2)
+    k3 = run_lockstep(mp3, [_feed(sims[0]), _feed(sims[1], max_scans=7)],
+                      rounds_per_dispatch=3)
+    assert mp3.rounds == mp1.rounds
+    for a, b in zip(one, k3):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(b[:, 1:4], a[:, 1:4], atol=0.05)
+        np.testing.assert_allclose(b[:, 0], a[:, 0], atol=1e-9)
