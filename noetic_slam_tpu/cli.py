@@ -344,6 +344,19 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """SaveRosbag parity (file player ROSThread.cpp:704-784): ground truth
+    + radar polar images -> rosbag."""
+    from noetic_slam_tpu.io.export import export_mulran_bag
+    from noetic_slam_tpu.io.mulran import MulranDataset
+
+    ds = MulranDataset.load(args.mulran)
+    stats = export_mulran_bag(ds, args.bag, radar=not args.no_radar,
+                              compression=args.compression)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_batch(args) -> int:
     """Data-parallel multi-sequence odometry: B sequences advance in
     lockstep through ONE vmapped step, batch axis sharded over the device
@@ -497,6 +510,16 @@ def main(argv=None) -> int:
                      help="resume a multi-bag run from a batch checkpoint "
                           "(TUM outputs then cover the post-resume part)")
     pbt.set_defaults(fn=cmd_batch)
+
+    px = sub.add_parser("export", help="export a MulRan sequence's ground "
+                                       "truth + radar images to a rosbag "
+                                       "(the file player's SaveRosbag)")
+    px.add_argument("--mulran", required=True)
+    px.add_argument("--bag", required=True)
+    px.add_argument("--no-radar", action="store_true")
+    px.add_argument("--compression", default="none",
+                    choices=["none", "bz2", "lz4"])
+    px.set_defaults(fn=cmd_export)
 
     pi = sub.add_parser("info", help="print config + devices")
     pi.add_argument("--config", default=None)

@@ -111,3 +111,35 @@ def write_tum_trajectory(path: str, traj: np.ndarray) -> int:
                            traj[:, 5:8], traj[:, 4]])
     np.savetxt(path, out, fmt="%.9f")
     return len(out)
+
+
+def export_mulran_bag(dataset, path: str, radar: bool = True,
+                      gt_topic: str = "/gt",
+                      radar_topic: str = "/radar/polar",
+                      compression: str = "none") -> dict:
+    """SaveRosbag parity (reference file_player ROSThread.cpp:704-784):
+    write the sequence's ground truth (``global_pose.csv`` 3x4 row-major
+    poses -> nav_msgs/Odometry on ``/gt``) and, when present, the polar
+    radar images (sensor_msgs/Image mono8/mono16) into a v2.0 rosbag.
+
+    Returns {"gt": n, "radar": n}.
+    """
+    from noetic_slam_tpu.io.rosbag import BagWriter
+    from noetic_slam_tpu.utils.geometry import mat_to_quat
+
+    w = BagWriter(path, compression=compression)
+    n_gt = n_radar = 0
+    if dataset.gt_stamps is not None:
+        for t, pose in zip(dataset.gt_stamps, dataset.gt_poses):
+            q = np.asarray(mat_to_quat(pose[:, :3]))
+            w.write_odometry(gt_topic, float(t), pose[:, 3], q)
+            n_gt += 1
+    if radar and len(dataset.radar_stamps):
+        for i, t in enumerate(dataset.radar_stamps):
+            img = dataset.read_radar(i)
+            if img.ndim == 3:                  # RGB(A) png: take channel 0
+                img = img[..., 0]
+            w.write_image(radar_topic, float(t), img)
+            n_radar += 1
+    w.close()
+    return {"gt": n_gt, "radar": n_radar}

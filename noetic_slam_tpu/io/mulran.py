@@ -121,11 +121,28 @@ class MulranDataset:
         raw = np.fromfile(self.scan_files[i], dtype=np.float32)
         return raw[: (len(raw) // 4) * 4].reshape(-1, 4)
 
-    def events(self) -> Iterator[tuple]:
+    def events(self, kinds=("imu", "scan")) -> Iterator[tuple]:
         """Merged (stamp, kind, index) stream in time order — the
         replacement for data_stamp.csv dispatch (the csv is redundant with
-        the per-sensor stamps and not always present)."""
-        ev = ([(t, "imu", i) for i, t in enumerate(self.imu_stamps)]
-              + [(t, "scan", i) for i, t in enumerate(self.scan_stamps)])
-        ev.sort(key=lambda e: (e[0], 0 if e[1] == "imu" else 1))
+        the per-sensor stamps and not always present). ``kinds`` may also
+        include "gps" (gps.csv rows) and "radar" (polar image stamps) —
+        the file player's remaining publisher threads
+        (ROSThread.cpp:562-631)."""
+        order = {"imu": 0, "gps": 1, "radar": 2, "scan": 3}
+        ev = []
+        if "imu" in kinds:
+            ev += [(t, "imu", i) for i, t in enumerate(self.imu_stamps)]
+        if "scan" in kinds:
+            ev += [(t, "scan", i) for i, t in enumerate(self.scan_stamps)]
+        if "gps" in kinds and self.gps is not None:
+            ev += [(t, "gps", i) for i, t in enumerate(self.gps[:, 0])]
+        if "radar" in kinds:
+            ev += [(t, "radar", i) for i, t in enumerate(self.radar_stamps)]
+        ev.sort(key=lambda e: (e[0], order[e[1]]))
         return iter(ev)
+
+    def read_radar(self, i: int) -> "np.ndarray":
+        """Decode polar radar image i to a (H, W) array (PNG via PIL)."""
+        from PIL import Image
+
+        return np.asarray(Image.open(self.radar_files[i]))

@@ -46,7 +46,9 @@ def replay_dataset(dataset, pipeline, tsdf_integrator=None,
                    on_scan: Optional[Callable] = None,
                    skip_stop_region: Optional[tuple] = None,
                    batch: int = 1,
-                   on_batch: Optional[Callable] = None) -> dict:
+                   on_batch: Optional[Callable] = None,
+                   on_gps: Optional[Callable] = None,
+                   on_radar: Optional[Callable] = None) -> dict:
     """Drive a MulranDataset (or any object with the same interface) through
     an OdometryPipeline (+ optional TSDF integrator callback).
 
@@ -97,12 +99,25 @@ def replay_dataset(dataset, pipeline, tsdf_integrator=None,
             on_scan(idx, out)
         n_scans += 1
 
-    for stamp, kind, idx in dataset.events():
+    if on_gps is None and on_radar is None:
+        events = dataset.events()            # duck-typed datasets: no kinds
+    else:
+        kinds = ["imu", "scan"]
+        if on_gps is not None:
+            kinds.append("gps")
+        if on_radar is not None:
+            kinds.append("radar")
+        events = dataset.events(tuple(kinds))
+    for stamp, kind, idx in events:
         if (skip_stop_region
                 and skip_stop_region[0] <= stamp <= skip_stop_region[1]):
             continue
         clock.wait_until(stamp)
-        if kind == "imu":
+        if kind == "gps":
+            on_gps(stamp, dataset.gps[idx])
+        elif kind == "radar":
+            on_radar(stamp, idx)
+        elif kind == "imu":
             pipeline.push_imu(dataset.imu_stamps[idx], dataset.imu_gyro[idx],
                               dataset.imu_accel[idx])
             n_imu += 1

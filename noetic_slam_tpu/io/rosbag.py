@@ -108,6 +108,39 @@ def parse_imu(data: bytes) -> dict:
             "lin_accel": np.array([ax, ay, az])}
 
 
+def parse_odometry(data: bytes) -> dict:
+    """nav_msgs/Odometry -> {stamp, frame_id, child_frame_id, p, q wxyz}."""
+    off = 4
+    sec, nsec = struct.unpack_from("<II", data, off)
+    off += 8
+    frame_id, off = _read_string(data, off)
+    child, off = _read_string(data, off)
+    px, py, pz = struct.unpack_from("<3d", data, off)
+    off += 24
+    qx, qy, qz, qw = struct.unpack_from("<4d", data, off)
+    return {"stamp": sec + nsec * 1e-9, "frame_id": frame_id,
+            "child_frame_id": child, "p": np.array([px, py, pz]),
+            "q": np.array([qw, qx, qy, qz])}
+
+
+def parse_image(data: bytes) -> dict:
+    """sensor_msgs/Image (mono8/mono16) -> {stamp, frame_id, img (H, W)}."""
+    off = 4
+    sec, nsec = struct.unpack_from("<II", data, off)
+    off += 8
+    frame_id, off = _read_string(data, off)
+    h, w = struct.unpack_from("<II", data, off)
+    off += 8
+    enc, off = _read_string(data, off)
+    _be, step = struct.unpack_from("<BI", data, off)
+    off += 5
+    (nbytes,) = struct.unpack_from("<I", data, off)
+    off += 4
+    dt = {"mono8": np.uint8, "mono16": np.uint16}[enc]
+    img = np.frombuffer(data, dt, count=h * w, offset=off).reshape(h, w)
+    return {"stamp": sec + nsec * 1e-9, "frame_id": frame_id, "img": img}
+
+
 def parse_pointcloud2(data: bytes) -> dict:
     """sensor_msgs/PointCloud2 -> {stamp, frame_id, xyz (N,3) f32,
     point_time (N,) f64 rel seconds | None, time_field}.
@@ -334,6 +367,48 @@ class BagWriter:
         payload += struct.pack("<B", 1)               # is_dense
         self.write_raw(topic, "sensor_msgs/PointCloud2",
                        "1158d486dd51d683ce2f1be655c3c181", stamp, payload)
+
+    def write_odometry(self, topic, stamp, p, q_wxyz, frame_id="map",
+                       child_frame_id="base_link"):
+        """nav_msgs/Odometry (pose only; twist/covariances zero) — the
+        ground-truth export record of the reference's SaveRosbag
+        (file_player ROSThread.cpp:743-780: global_pose.csv rows -> /gt)."""
+        fid = frame_id.encode()
+        cid = child_frame_id.encode()
+        qw, qx, qy, qz = q_wxyz
+        sec = int(stamp)
+        nsec = int(round((stamp - sec) * 1e9))
+        payload = struct.pack("<III", 0, sec, nsec)
+        payload += struct.pack("<I", len(fid)) + fid
+        payload += struct.pack("<I", len(cid)) + cid
+        payload += struct.pack("<3d", *p)
+        payload += struct.pack("<4d", qx, qy, qz, qw)
+        payload += b"\0" * (36 * 8)                   # pose covariance
+        payload += struct.pack("<6d", 0, 0, 0, 0, 0, 0)
+        payload += b"\0" * (36 * 8)                   # twist covariance
+        self.write_raw(topic, "nav_msgs/Odometry",
+                       "cd5e73d190d741a2f92e81eda573aca7", stamp, payload)
+
+    def write_image(self, topic, stamp, img, frame_id="radar"):
+        """sensor_msgs/Image from a (H, W) uint8/uint16 array (mono8 /
+        mono16) — the radar-polar export record (ROSThread.cpp:704-741)."""
+        img = np.asarray(img)
+        assert img.ndim == 2 and img.dtype in (np.uint8, np.uint16)
+        enc = b"mono8" if img.dtype == np.uint8 else b"mono16"
+        h, w = img.shape
+        step = w * img.itemsize
+        fid = frame_id.encode()
+        sec = int(stamp)
+        nsec = int(round((stamp - sec) * 1e9))
+        payload = struct.pack("<III", 0, sec, nsec)
+        payload += struct.pack("<I", len(fid)) + fid
+        payload += struct.pack("<II", h, w)
+        payload += struct.pack("<I", len(enc)) + enc
+        payload += struct.pack("<BI", 0, step)        # little-endian, step
+        data = img.tobytes()
+        payload += struct.pack("<I", len(data)) + data
+        self.write_raw(topic, "sensor_msgs/Image",
+                       "060021388200f6f0f447d0fcd9c64743", stamp, payload)
 
     def close(self) -> None:
         chunk = b"".join(self._conn_records) + b"".join(self._msgs)

@@ -117,7 +117,41 @@ def write_fixture(out: str, duration: float = 8.0, hold: float = 3.5,
             f.write(str(ns) + ","
                     + ",".join(f"{v:.9g}" for v in T.reshape(-1)) + "\n")
 
+    # --- gps.csv: stamp_ns + lat/lon/alt + 9 covariance -----------------
+    # (ROSThread.cpp:152-170 parse; lat/lon synthesized from the ground-
+    # truth positions at ~1e-5 deg/m around a MulRan-plausible origin).
+    n_gps = 0
+    with open(os.path.join(sd, "gps.csv"), "w") as f:
+        for t in np.arange(0.0, hold + duration, 0.25):
+            ns = BASE_NS + int(round(t * 1e9))
+            _, p = sim.pose(t)
+            lat = 36.37 + p[1] * 9.0e-6
+            lon = 127.36 + p[0] * 1.12e-5
+            row = [ns, f"{lat:.9f}", f"{lon:.9f}", f"{p[2]:.4f}"] + \
+                ["2.25", "0", "0", "0", "2.25", "0", "0", "0", "9.0"]
+            f.write(",".join(str(v) for v in row) + "\n")
+            n_gps += 1
+
+    # --- radar/polar PNGs: <stamp_ns>.png mono8 -------------------------
+    # (directory layout + name convention, ROSThread.cpp:262-284; content
+    # is synthetic — the player only moves the images, it never parses
+    # them).
+    from PIL import Image
+
+    radar_dir = os.path.join(sd, "radar", "polar")
+    os.makedirs(radar_dir, exist_ok=True)
+    rng_r = np.random.default_rng(seed + 2)
+    n_radar = 0
+    for t in np.arange(hold, hold + duration, 0.25):
+        ns = BASE_NS + int(round(t * 1e9))
+        img = (rng_r.integers(0, 60, (64, 128))
+               + np.linspace(0, 180, 128)[None, :]).astype(np.uint8)
+        Image.fromarray(img, mode="L").save(
+            os.path.join(radar_dir, f"{ns}.png"))
+        n_radar += 1
+
     return {"out": out, "n_scans": n_scans, "n_imu": len(sim.imu_stamps),
+            "n_gps": n_gps, "n_radar": n_radar,
             "duration_s": hold + duration, "n_points": n_points}
 
 
