@@ -209,6 +209,41 @@ def cmd_slam(args) -> int:
                 print(f"tsdf mesh: {len(verts)} verts / {len(faces)} tris "
                       "-> tsdf_mesh.ply")
 
+    if args.esdf and slam.tsdf is not None:
+        # Voxblox-class planning output: a dense ESDF region around the
+        # final pose (npz) + a mid-height slice rendering.
+        import jax.numpy as jnp
+
+        from noetic_slam_tpu.models import esdf as esdf_mod
+
+        shape = (96, 96, 24)
+        mcfg = (cfg.occupancy if cfg.map_backend == "occupancy"
+                else cfg.tsdf)
+        v = mcfg.voxel_size
+        center = (traj[-1, 1:4] if len(traj) else np.zeros(3))
+        lo = center - 0.5 * v * np.asarray(shape)
+        fn = (esdf_mod.esdf_region_occupancy
+              if cfg.map_backend == "occupancy" else esdf_mod.esdf_region)
+        field, observed, centers = fn(mcfg, slam.tsdf, jnp.asarray(lo),
+                                      shape=shape, max_dist=3.0)
+        field, observed = np.asarray(field), np.asarray(observed)
+        np.savez_compressed(os.path.join(args.out, "esdf.npz"),
+                            esdf=field, observed=observed, origin=lo,
+                            voxel_size=v)
+        from noetic_slam_tpu.io import viz as vz
+
+        z = shape[2] // 2
+        sl = field[:, :, z]
+        img = np.zeros(sl.shape + (3,), np.uint8)
+        pos = np.clip(sl / 3.0, 0, 1)
+        neg = np.clip(-sl / 1.0, 0, 1)
+        img[..., 1] = (pos * 255).astype(np.uint8)          # green: free
+        img[..., 0] = (neg * 255).astype(np.uint8)          # red: inside
+        img[~observed[:, :, z]] = (40, 40, 120)             # blue: unknown
+        vz.write_png(os.path.join(args.out, "esdf_slice.png"), img)
+        print(f"esdf: {int(observed.sum())} observed voxels -> "
+              "esdf.npz, esdf_slice.png")
+
     if args.checkpoint:
         slam.save(os.path.join(args.out, "state.nst.npz"))
         print("checkpoint -> state.nst.npz")
@@ -474,6 +509,9 @@ def main(argv=None) -> int:
                     help="extract a surface-nets mesh from the TSDF")
     ps.add_argument("--no-loop-closure", action="store_true")
     ps.add_argument("--checkpoint", action="store_true")
+    ps.add_argument("--esdf", action="store_true",
+                    help="write a dense ESDF region around the final pose "
+                         "(esdf.npz + esdf_slice.png)")
     ps.add_argument("--progress", action="store_true")
     ps.add_argument("--viz", action="store_true",
                     help="render trajectory/map PNGs + HTML orbit viewer")

@@ -129,6 +129,48 @@ def esdf_region(cfg: TsdfConfig, state: TsdfState, origin: Array,
 
 
 @partial(jax.jit, static_argnames=("cfg", "shape"))
+def esdf_region_occupancy(cfg, state, origin: Array,
+                          shape: tuple = (64, 64, 32),
+                          max_dist: float = 5.0):
+    """ESDF over the occupancy backend (models/occupancy.OccupancyState):
+    occupied = log-odds > occ_thresh, free = updated voxels at/below it.
+    No sub-voxel band exists in an occupancy grid, so surfaces are
+    voxel-quantized (seeds at 0 on the occupied set). Same return contract
+    as esdf_region. ``cfg`` is an OccupancyConfig."""
+    v = cfg.voxel_size
+    nx, ny, nz = shape
+    base = jnp.floor(jnp.asarray(origin) / v).astype(jnp.int32)
+    ii, jj, kk = jnp.meshgrid(jnp.arange(nx), jnp.arange(ny),
+                              jnp.arange(nz), indexing="ij")
+    vox = base + jnp.stack([ii, jj, kk], axis=-1)
+    centers = (vox.astype(jnp.float32) + 0.5) * v
+
+    b = vox >> 3
+    intra = vox - (b << 3)
+    keys = _block_key(b).reshape(-1)
+    slots = _lookup_join(state.dir_keys, state.dir_slots, keys)
+    ivox = (intra[..., 0] + (intra[..., 1] << 3)
+            + (intra[..., 2] << 6)).reshape(-1)
+    flat = jnp.where(slots >= 0,
+                     jnp.clip(slots, 0, state.logodds.shape[0] - 1)
+                     * BLOCK_VOLUME + ivox, 0)
+    L = jnp.where(slots >= 0, state.logodds.reshape(-1)[flat], 0.0)
+    # An exactly-zero log-odds voxel inside an allocated block is
+    # indistinguishable from an untouched one — treated as unobserved
+    # (conservative; hit/miss magnitudes make true zeros measure-zero).
+    observed = (L != 0.0).reshape(nx, ny, nz)
+    occupied = observed & (L.reshape(nx, ny, nz) > cfg.occ_thresh)
+
+    inf = jnp.float32(4.0 * max_dist * max_dist)
+    d_out = jnp.sqrt(_edt_sq(jnp.where(occupied, 0.0, inf), v))
+    d_in = jnp.sqrt(_edt_sq(jnp.where(occupied, inf, 0.0), v))
+    esdf = jnp.where(occupied, -d_in, d_out)
+    esdf = jnp.clip(esdf, -max_dist, max_dist)
+    esdf = jnp.where(observed, esdf, max_dist)
+    return esdf, observed, centers
+
+
+@partial(jax.jit, static_argnames=("cfg", "shape"))
 def esdf_at(cfg: TsdfConfig, state: TsdfState, points: Array,
             shape: tuple = (64, 64, 32), max_dist: float = 5.0):
     """Signed distance at query points (N, 3): materializes the covering

@@ -76,3 +76,34 @@ def test_esdf_at_trilinear_sign_and_gradient():
     np.testing.assert_allclose(vals, want, atol=1.5 * cfg.voxel_size)
     # monotone decrease toward the wall
     assert vals[0] > vals[1] > vals[2]
+
+
+def test_esdf_region_occupancy_wall():
+    """Occupancy-backend ESDF: voxel-quantized distances to the occupied
+    set, correct sign inside the wall."""
+    from noetic_slam_tpu.config.params import OccupancyConfig
+    from noetic_slam_tpu.models import occupancy as occ
+
+    ocfg = OccupancyConfig(voxel_size=0.1, max_blocks=4096,
+                           miss_samples=48, max_range=30.0)
+    rng = np.random.default_rng(1)
+    n = 4000
+    pts = np.c_[np.full(n, 4.0), rng.uniform(-3, 3, n),
+                rng.uniform(-2, 2, n)].astype(np.float32)
+    st = occ.init_occupancy(ocfg)
+    for _ in range(3):
+        st = occ.integrate(ocfg, st, jnp.asarray(pts),
+                           jnp.ones((n,), bool), jnp.zeros(3))
+    esdf, observed, centers = esdf_mod.esdf_region_occupancy(
+        ocfg, st, jnp.asarray([3.0, -1.0, -0.5]), shape=(12, 16, 8),
+        max_dist=2.0)
+    esdf, observed = np.asarray(esdf), np.asarray(observed)
+    centers = np.asarray(centers)
+    # the voxel between the last miss sample and the hit is legitimately
+    # untouched (misses stop one voxel short of the endpoint)
+    assert observed.mean() > 0.7
+    free = observed & (centers[..., 0] < 3.85)
+    err = np.abs(esdf[free] - (4.0 - centers[free][:, 0]))
+    assert np.quantile(err, 0.9) < 2.0 * ocfg.voxel_size, err.max()
+    wall = observed & (np.abs(centers[..., 0] - 4.05) < 0.02)
+    assert wall.sum() > 10 and np.median(esdf[wall]) <= 0.0
