@@ -755,25 +755,32 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
 
             mask = select_submap_keyframes(cfg, st, alpha=threshD)
             changed = jnp.any(mask != st.submap_mask)
-            sm_xyz, sm_valid, sm_cov, sm_count, sm_over = gather_submap(
-                cfg, st, mask)
-            sel = lambda a, b: jnp.where(changed, a, b)
-            st = st._replace(
-                submap_xyz=sel(sm_xyz, st.submap_xyz),
-                submap_valid=sel(sm_valid, st.submap_valid),
-                submap_cov=sel(sm_cov, st.submap_cov),
-                submap_mask=mask,
-                submap_count=sel(sm_count, st.submap_count),
-                submap_overflow=st.submap_overflow
-                + jnp.where(changed, sm_over, 0),
-                first_opt_done=jnp.array(True))
-            if use_grid:
-                new_grid = gridnn.build_grid(sm_xyz, sm_valid, grid_cell)
-                st = st._replace(
-                    grid_xyz=sel(new_grid.xyz, st.grid_xyz),
-                    grid_keys=sel(new_grid.keys, st.grid_keys),
-                    grid_order=sel(new_grid.order, st.grid_order),
-                    grid_origin=sel(new_grid.origin, st.grid_origin))
+
+            # Rebuild the registration target ONLY when the selection
+            # changed (the reference's "if submap has changed" gate,
+            # odom.cc:1719-1729). Under lax.cond the untaken branch does
+            # not execute, so steady-state scans (selection stable between
+            # keyframe pushes / kNN rank swaps) skip the 10 MB keyframe
+            # gather + the payload-carrying Morton sort of the merged
+            # submap — the dominant non-GICP cost of the step.
+            def do_gather(s):
+                sm_xyz, sm_valid, sm_cov, sm_count, sm_over = gather_submap(
+                    cfg, s, mask)
+                s = s._replace(
+                    submap_xyz=sm_xyz, submap_valid=sm_valid,
+                    submap_cov=sm_cov, submap_mask=mask,
+                    submap_count=sm_count,
+                    submap_overflow=s.submap_overflow + sm_over)
+                if use_grid:
+                    new_grid = gridnn.build_grid(sm_xyz, sm_valid, grid_cell)
+                    s = s._replace(
+                        grid_xyz=new_grid.xyz, grid_keys=new_grid.keys,
+                        grid_order=new_grid.order,
+                        grid_origin=new_grid.origin)
+                return s
+
+            st = jax.lax.cond(changed, do_gather, lambda s: s, st)
+            st = st._replace(first_opt_done=jnp.array(True))
             return st, (is_kf, (res.iterations, res.error, res.num_corr))
 
         def process(state):
