@@ -161,7 +161,10 @@ def _integrate_deltas(cfg: OccupancyConfig, state: OccupancyState,
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     if use_kernel:
-        from noetic_slam_tpu.ops.pallas.tsdf_kernel import logodds_accumulate
+        from noetic_slam_tpu.ops.pallas.tsdf_kernel import (
+            _CHUNK,
+            logodds_accumulate,
+        )
 
         # Kernel ordering contract (tsdf_kernel docstring): padding entries
         # (cnt = 0) first, mapped to the FIRST real row; real entries in
@@ -176,7 +179,7 @@ def _integrate_deltas(cfg: OccupancyConfig, state: OccupancyState,
         rows = jnp.where(rows_o < 0, first_real, rows_o)
         starts = jnp.where(rows_o < 0, 0, start[order])
         cnts = jnp.where(rows_o < 0, 0, cnt[order])
-        pad_s = (-S) % 512
+        pad_s = (-S) % _CHUNK       # kernel stream-chunk size, not 512
         if pad_s:
             iv_p = jnp.concatenate([iv_s, jnp.zeros((pad_s,), iv_s.dtype)])
             dl_p = jnp.concatenate([dl_s, jnp.zeros((pad_s,), dl_s.dtype)])
@@ -209,6 +212,21 @@ def integrate(cfg: OccupancyConfig, state: OccupancyState, points: Array,
     """Fuse one world-frame registered cloud into the occupancy map."""
     pos, delta = _beam_samples(cfg, points, valid, origin)
     return _integrate_deltas(cfg, state, pos, delta)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def integrate_signed(cfg: OccupancyConfig, state: OccupancyState,
+                     points: Array, valid: Array, origin: Array,
+                     sign: Array) -> OccupancyState:
+    """Fuse (sign=+1) or exactly de-fuse (sign=-1) one cloud — the
+    keyframe-archive volume primitive (runtime/archive.py; TSDF counterpart
+    tsdf.integrate_signed). Exact inversion requires an unclamped config
+    (``l_min``/``l_max`` at ±1e30: jnp.clip with huge bounds is the
+    identity, and unlike the TSDF renorm it is division-free, so no kernel
+    variant is needed); occupancy probability consumers clamp at read time
+    instead."""
+    pos, delta = _beam_samples(cfg, points, valid, origin)
+    return _integrate_deltas(cfg, state, pos, delta * sign)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -103,6 +103,47 @@ def add_edge(g: PoseGraph, i: Array, j: Array, dq: Array, dp: Array,
         n_edges=g.n_edges + ok.astype(jnp.int32))
 
 
+def grow(g: PoseGraph, max_nodes: int | None = None,
+         max_edges: int | None = None) -> PoseGraph:
+    """Return a graph with enlarged node/edge capacity, contents preserved.
+
+    Saturation policy: ``add_node``/``add_edge`` saturate (no-op, count
+    unchanged) rather than corrupt memory — but a silently dropped node
+    leaves the odometry chain broken and any caller-held node id dangling.
+    Callers that must never lose a node (SlamSystem.sync_graph) therefore
+    check capacity and grow AHEAD of saturation; this keeps the pose graph
+    unbounded over km-scale runs (the reference's keyframe store is
+    unbounded, odom.cc:1517-1598) while every jitted consumer still sees
+    static shapes (growth is a host-side O(K+E) reallocation at doubling
+    cadence, so at most log2(total) recompiles of ``optimize``)."""
+    K, E = g.node_q.shape[0], g.edge_i.shape[0]
+    nK = max(max_nodes or K, K)
+    nE = max(max_edges or E, E)
+    if nK == K and nE == E:
+        return g
+
+    def pad(a, n, fill=0):
+        if n == a.shape[0]:
+            return a
+        extra = jnp.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, extra], axis=0)
+
+    ident = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+    node_q = (g.node_q if nK == K else
+              jnp.concatenate([g.node_q,
+                               jnp.tile(ident, (nK - K, 1))], axis=0))
+    edge_dq = (g.edge_dq if nE == E else
+               jnp.concatenate([g.edge_dq,
+                                jnp.tile(ident, (nE - E, 1))], axis=0))
+    return PoseGraph(
+        node_q=node_q, node_p=pad(g.node_p, nK), n_nodes=g.n_nodes,
+        edge_i=pad(g.edge_i, nE), edge_j=pad(g.edge_j, nE),
+        edge_dq=edge_dq, edge_dp=pad(g.edge_dp, nE),
+        edge_w_rot=pad(g.edge_w_rot, nE),
+        edge_w_trans=pad(g.edge_w_trans, nE),
+        edge_valid=pad(g.edge_valid, nE, False), n_edges=g.n_edges)
+
+
 def relative_pose(qi, pi, qj, pj):
     """Measured relative transform (dq, dp) of j in i's frame."""
     dq = quat_normalize(quat_mul(quat_conj(qi), qj))
@@ -356,16 +397,35 @@ def verify_loop(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov,
     and OBSERVABLE. Returns (T_corr, accepted).
 
     Thresholds calibrated from measured metric distributions (synthetic
-    structured scenes + real pipeline keyframe clouds from a drifting
-    closed-loop run — see tests/test_loop_verification.py):
+    structured + outdoor-like scenes, and real pipeline keyframe clouds
+    from a drifting closed-loop run — see tests/test_loop_verification.py;
+    outdoor rows averaged over 3 structure/sampling seeds):
 
-    | case                         | mean_err | min_eig(H_t)/corr |
-    |------------------------------|----------|-------------------|
-    | true match, clean corner     |   0.09   |       115         |
-    | true loop pair, drifted run  |   0.74   |      10-22        |
-    | corridor (degenerate)        |   0.10   |       0.6         |
-    | aliased corridor (wrong +4m) |   0.11   |       0.6         |
-    | wrong place, clutter         |   0.25   |       2.0         |
+    | case                           | mean_err  | min_eig(H_t)/corr |
+    |--------------------------------|-----------|-------------------|
+    | true match, clean corner       |   0.09    |       115         |
+    | true match, corner 2/3 overlap |   0.11    |       105         |
+    | true loop pair, drifted run    |   0.74    |      10-22        |
+    | corridor (degenerate)          |   0.10    |       0.6         |
+    | aliased corridor (wrong +4m)   |   0.11    |       0.6         |
+    | wrong place, clutter           |   0.25    |       2.0         |
+    | vegetation clutter, TRUE pair  | 0.29-0.36 |     2.1-2.4       |
+    | vegetation, WRONG place        | 0.47-0.65 |     1.5-1.8       |
+    | sloped rough ground, TRUE pair | 0.33-0.39 |       1.1         |
+    | sloped ground, WRONG place     | 0.35-0.90 |       0.7         |
+
+    ROC reading of the table: every structured true match sits at
+    trans_eig >= 10; every false candidate (aliases, clutter, wrong-place
+    vegetation/slope) sits at <= 2.0. ``min_trans_eig = 5.0`` is the
+    midpoint with >= 2x margin BOTH ways — any threshold in [2.4, 10]
+    yields the same zero-false-positive operating point on this battery.
+    Vegetation-only and slope-only TRUE pairs (eig 1.1-2.4) are
+    intentionally rejected as unverifiable: their recovered translation
+    UNDERSHOOTS the true offset (the slide direction is unconstrained by
+    noisy-normal / planar geometry — measured t=[.01,.04,.01] for a true
+    [0.1,0.08,0.02] slope offset), so "accepting a true place" would still
+    apply a wrong measurement; the conservative direction costs only
+    unclosed drift, never map corruption.
 
     - ``max_error`` (mean Mahalanobis residual per correspondence) rejects
       gross geometry mismatch: true pairs measure <= 0.74, bound 1.5.

@@ -51,6 +51,10 @@ Array = jax.Array
 BLOCK = 8                      # voxels per block edge
 BLOCK_VOLUME = BLOCK ** 3
 _KEY_PAD = jnp.iinfo(jnp.int32).max
+# max_weight at/above this disables the clamp+renorm entirely: the payload
+# is then a pure linear sum, which integrate_signed can exactly invert
+# (the keyframe-archive volume runs in this mode — runtime/archive.py).
+NO_CLAMP = 1e30
 
 
 class TsdfState(NamedTuple):
@@ -232,7 +236,9 @@ def _integrate_samples(cfg: TsdfConfig, state: TsdfState, pos: Array,
     b = vx >> 3                       # block coords (floor divide by 8)
     intra = vx - (b << 3)             # 0..7 each axis
     gk = _block_key(b)
-    gk = jnp.where(w > 0.0, gk, _KEY_PAD)
+    # != 0 (not > 0): signed integration (integrate_signed with sign=-1,
+    # the archive-volume de-fusion path) carries negative weights.
+    gk = jnp.where(w != 0.0, gk, _KEY_PAD)
     ivox = intra[:, 0] + (intra[:, 1] << 3) + (intra[:, 2] << 6)
     sdf_c = jnp.clip(sdf, -cfg.truncation, cfg.truncation)
 
@@ -296,7 +302,10 @@ def _integrate_samples(cfg: TsdfConfig, state: TsdfState, pos: Array,
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     if use_kernel:
-        from noetic_slam_tpu.ops.pallas.tsdf_kernel import block_accumulate
+        from noetic_slam_tpu.ops.pallas.tsdf_kernel import (
+            _CHUNK,
+            block_accumulate,
+        )
 
         # Kernel ordering contract: padding entries (cnt = 0) first and
         # mapped to the FIRST real row (so their row-group is shared with
@@ -311,7 +320,7 @@ def _integrate_samples(cfg: TsdfConfig, state: TsdfState, pos: Array,
         rows = jnp.where(rows_o < 0, first_real, rows_o)
         starts = jnp.where(rows_o < 0, 0, start[order])
         cnts = jnp.where(rows_o < 0, 0, cnt[order])
-        pad_s = (-S) % 512
+        pad_s = (-S) % _CHUNK       # kernel stream-chunk size, not 512
         if pad_s:
             iv_p = jnp.concatenate([iv_s, jnp.zeros((pad_s,), iv_s.dtype)])
             w_p = jnp.concatenate([w_s, jnp.zeros((pad_s,), w_s.dtype)])
@@ -335,6 +344,16 @@ def _integrate_samples(cfg: TsdfConfig, state: TsdfState, pos: Array,
     wsum_flat = state.wsum.reshape(-1).at[addr].add(ws_s, mode="drop")
     weight_flat = state.weight.reshape(-1).at[addr].add(w_s, mode="drop")
 
+    if cfg.max_weight >= NO_CLAMP:
+        # Unclamped (archive-volume) variant: the payload stays a pure sum,
+        # so subtracting a contribution (integrate_signed sign=-1) exactly
+        # undoes adding it. The renorm below would blow up on the tiny
+        # negative residuals exact cancellation can leave (w/1e-12).
+        return state._replace(
+            dir_keys=keys2, dir_slots=slots2, num_blocks=num2,
+            dropped=dropped2, wsum=wsum_flat.reshape(C, BLOCK_VOLUME),
+            weight=weight_flat.reshape(C, BLOCK_VOLUME))
+
     clamped = jnp.minimum(weight_flat, cfg.max_weight)
     wsum_flat = wsum_flat * (clamped / jnp.maximum(weight_flat, 1e-12))
     return state._replace(
@@ -357,6 +376,26 @@ def integrate(cfg: TsdfConfig, state: TsdfState, points: Array,
     """
     pos, sdf, w = _ray_samples(cfg, points, valid, origin)
     return _integrate_samples(cfg, state, pos, sdf, w)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def integrate_signed(cfg: TsdfConfig, state: TsdfState, points: Array,
+                     valid: Array, origin: Array, sign: Array) -> TsdfState:
+    """Fuse (sign=+1) or EXACTLY de-fuse (sign=-1) one cloud.
+
+    The keyframe-archive volume primitive (runtime/archive.py): with
+    ``cfg.max_weight >= NO_CLAMP`` the payload is a pure (Σw·d, Σw) sum, and
+    because sample generation is deterministic for identical (points, valid,
+    origin), integrating with sign=-1 scatters the bitwise negation of what
+    sign=+1 scattered — per-voxel sums cancel to ~1 ulp of the accumulated
+    mass (re-association noise only; voxels with a single contribution
+    cancel exactly). This makes post-loop-closure map correction O(moved
+    keyframes) instead of O(all keyframes): subtract the moved keyframe at
+    its old pose, re-add at its optimized pose; every payload row no moved
+    keyframe touches is never read or written — bit-identical.
+    """
+    pos, sdf, w = _ray_samples(cfg, points, valid, origin)
+    return _integrate_samples(cfg, state, pos, sdf, w * sign)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -93,10 +93,18 @@ def _accum_kernel(rows_ref, starts_ref, cnts_ref, ivox_ref, w_ref, wd_ref,
     mask = (jax.lax.broadcasted_iota(jnp.int32, (_GROUP, 1), 0)
             == g).astype(jnp.float32)
     new_w = scr_w[...] + mask * acc[0:1]
-    clamped = jnp.minimum(new_w, max_weight)
-    scale = clamped / jnp.maximum(new_w, 1e-12)
-    scr_wd[...] = (scr_wd[...] + mask * acc[1:2]) * scale
-    scr_w[...] = clamped
+    if max_weight >= 1e29:
+        # Unclamped (archive-volume) mode: pure sum, no renorm — the
+        # renorm's 1e-12 guard divides tiny NEGATIVE residuals left by
+        # signed exact cancellation into huge factors (models/tsdf.NO_CLAMP
+        # rationale). Static branch: max_weight is a compile-time constant.
+        scr_wd[...] = scr_wd[...] + mask * acc[1:2]
+        scr_w[...] = new_w
+    else:
+        clamped = jnp.minimum(new_w, max_weight)
+        scale = clamped / jnp.maximum(new_w, 1e-12)
+        scr_wd[...] = (scr_wd[...] + mask * acc[1:2]) * scale
+        scr_w[...] = clamped
     wout_ref[...] = scr_w[...]
     wsout_ref[...] = scr_wd[...]
 

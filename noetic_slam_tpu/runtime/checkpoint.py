@@ -49,7 +49,11 @@ def _unpack(prefix: str, cls, data) -> Optional[object]:
 def save_checkpoint(path: str, odom_state: OdomState,
                     tsdf_state: TsdfState | None = None,
                     graph: PoseGraph | None = None,
-                    host: dict | None = None) -> None:
+                    host: dict | None = None,
+                    arrays: dict | None = None) -> None:
+    """``arrays``: extra named host arrays saved under ``extra/<name>``
+    (used for the keyframe archive — large int16 payloads that must not
+    ride the JSON sidecar)."""
     out: dict = {}
     _pack("odom", odom_state, out)
     _pack("tsdf", tsdf_state, out)
@@ -57,6 +61,8 @@ def save_checkpoint(path: str, odom_state: OdomState,
     if host:
         out["host/json"] = np.frombuffer(
             json.dumps(host).encode(), dtype=np.uint8)
+    for name, arr in (arrays or {}).items():
+        out[f"extra/{name}"] = np.asarray(arr)
     np.savez_compressed(path, **out)
 
 
@@ -81,8 +87,16 @@ def load_checkpoint(path: str):
     return odom, tsdf, graph, host
 
 
+def load_extra_arrays(path: str) -> dict:
+    """The ``extra/<name>`` host arrays of a checkpoint (empty if none)."""
+    data = np.load(path, allow_pickle=False)
+    return {k[len("extra/"):]: data[k] for k in data.files
+            if k.startswith("extra/")}
+
+
 def save_pipeline(path: str, pipeline, tsdf_state=None, graph=None,
-                  extra_host: dict | None = None) -> None:
+                  extra_host: dict | None = None,
+                  extra_arrays: dict | None = None) -> None:
     """Checkpoint an OdometryPipeline (+ optional map/graph) with its host
     bookkeeping so replay can resume mid-sequence."""
     host = {
@@ -97,7 +111,8 @@ def save_pipeline(path: str, pipeline, tsdf_state=None, graph=None,
     }
     if extra_host:
         host.update(extra_host)
-    save_checkpoint(path, pipeline.state, tsdf_state, graph, host)
+    save_checkpoint(path, pipeline.state, tsdf_state, graph, host,
+                    arrays=extra_arrays)
 
 
 def load_pipeline(path: str, pipeline):

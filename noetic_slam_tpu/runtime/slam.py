@@ -35,13 +35,33 @@ class SlamSystem:
                  enable_loop_closure: bool = True, loop_radius: float = 3.0,
                  loop_min_gap: int = 10, max_edges: int = 4096,
                  drift_budget_frac: float = 0.05,
-                 drift_budget_min: float = 0.3):
+                 drift_budget_min: float = 0.3,
+                 archive: bool | None = None,
+                 archive_eps_t: float = 0.01, archive_eps_r: float = 0.005):
         self.cfg = cfg or DlioConfig()
         self.odometry = OdometryPipeline(self.cfg, with_tsdf=enable_tsdf)
         self.enable_tsdf = enable_tsdf
         self.enable_loop_closure = enable_loop_closure
         self.loop_radius = loop_radius
         self.loop_min_gap = loop_min_gap
+        # Keyframe archive: host-side store of every keyframe ever created
+        # + the incrementally corrected archive volume (runtime/archive.py)
+        # — the long-run contract of the reference's unbounded accumulators
+        # (dliomapping.cpp:41-99, odom.cc:1517-1598) on a fixed-capacity
+        # device state. Default on whenever closures can deform the map.
+        if archive is None:
+            archive = enable_tsdf and enable_loop_closure
+        self.archive = None
+        if archive and enable_tsdf:
+            from noetic_slam_tpu.runtime.archive import KeyframeArchive
+
+            backend = self.cfg.map_backend
+            mcfg = (self.cfg.occupancy if backend == "occupancy"
+                    else self.cfg.tsdf)
+            self.archive = KeyframeArchive(mcfg, backend=backend)
+        self.archive_eps_t = archive_eps_t
+        self.archive_eps_r = archive_eps_r
+        self.closure_log: list = []     # per-closure {moved, seconds}
         # Drift budget: a verified closure whose pose correction exceeds
         # drift_budget_frac x (path length around the loop) + minimum slack
         # is treated as a geometric alias (a structurally identical scene
@@ -105,9 +125,26 @@ class SlamSystem:
         seq, kf_q, kf_p = jax.device_get((st.kf_seq, st.kf_quat, st.kf_pos))
         new_slots = [int(s) for s in np.argsort(seq)
                      if seq[s] > self._synced_total]
+
+        # Capacity ahead-of-saturation growth: pg.add_node/add_edge saturate
+        # silently, which would leave _slot_node entries dangling and the
+        # odometry chain broken past max_graph_nodes (the round-2 long-run
+        # corruption hazard). Grow by doubling so node ids stay valid for
+        # the whole (unbounded) run.
+        node = int(jax.device_get(self.graph.n_nodes))
+        n_edges = int(jax.device_get(self.graph.n_edges))
+        cap_n = self.graph.node_q.shape[0]
+        cap_e = self.graph.edge_i.shape[0]
+        need_n, need_e = node + len(new_slots), n_edges + len(new_slots) + 4
+        while cap_n < need_n:
+            cap_n *= 2
+        while cap_e < need_e:
+            cap_e *= 2
+        self.graph = pg.grow(self.graph, max_nodes=cap_n, max_edges=cap_e)
+        self.max_graph_nodes = cap_n
+
         new = 0
         for s in new_slots:
-            node = int(jax.device_get(self.graph.n_nodes))
             q_s, p_s = jnp.asarray(kf_q[s]), jnp.asarray(kf_p[s])
             self.graph = pg.add_node(self.graph, q_s, p_s)
             if self._last_kf_pose is not None:
@@ -118,6 +155,11 @@ class SlamSystem:
                                          jnp.int32(node), dq, dp)
             self._slot_node[s] = node
             self._last_kf_pose = (kf_q[s].copy(), kf_p[s].copy())
+            if self.archive is not None:
+                xyz_s, valid_s = jax.device_get(
+                    (st.kf_xyz[s], st.kf_valid[s]))
+                self.archive.add(node, kf_q[s], kf_p[s], xyz_s, valid_s)
+            node += 1
             new += 1
         self._synced_total = total
         return new
@@ -191,20 +233,34 @@ class SlamSystem:
         dq, dp = pg.relative_pose(
             jnp.asarray(kq[cand]), jnp.asarray(kp[cand]),
             jnp.asarray(q_fix), jnp.asarray(p_fix))
+        if int(jax.device_get(self.graph.n_edges)) + 1 > \
+                self.graph.edge_i.shape[0]:
+            self.graph = pg.grow(self.graph,
+                                 max_edges=2 * self.graph.edge_i.shape[0])
         self.graph = pg.add_edge(self.graph, jnp.int32(cand_node),
                                  jnp.int32(cur_node), dq, dp,
                                  w_rot=2.0, w_trans=2.0)
 
         # Optimize and deform the map.
+        import time as _time
+
+        t0 = _time.perf_counter()
         self.graph = pg.optimize(self.graph, iters=10)
-        self._apply_graph_to_state()
+        moved = self._apply_graph_to_state()
+        if self.enable_tsdf and self.odometry.tsdf_state is not None:
+            jax.block_until_ready(jax.tree.leaves(self.odometry.tsdf_state)[0])
+        self.closure_log.append({
+            "moved_keyframes": moved,
+            "archived": 0 if self.archive is None else len(self.archive),
+            "seconds": _time.perf_counter() - t0})
         self.loop_closures += 1
         return True
 
-    def _apply_graph_to_state(self) -> None:
+    def _apply_graph_to_state(self) -> int:
         """Write optimized keyframe poses back into the odometry state:
         re-transform keyframe clouds/covs, update the live pose by the last
-        keyframe's correction, force a submap rebuild."""
+        keyframe's correction, force a submap rebuild. Returns the number
+        of archived keyframes incrementally re-fused (0 without archive)."""
         st = self.odometry.state
         g = self.graph
         old_q, old_p = st.kf_quat, st.kf_pos
@@ -252,21 +308,32 @@ class SlamSystem:
             T=make_se3(lidar_q, lidar_p),
             submap_mask=jnp.zeros_like(st.submap_mask))
 
-        # Dense-map consistency: the volume was fused at pre-closure poses;
-        # re-fuse it from the deformed keyframe clouds (keyframe-rate cost,
-        # one scan-step per keyframe — see tsdf.rebuild_from_keyframes).
+        # Dense-map consistency: the volume was fused at pre-closure poses.
+        moved = 0
         if self.enable_tsdf and self.odometry.tsdf_state is not None:
-            st2 = self.odometry.state
-            if self.cfg.map_backend == "occupancy":
+            if self.archive is not None:
+                # Incremental archive correction: subtract/re-add ONLY the
+                # keyframes whose optimized pose moved (O(moved), exact —
+                # runtime/archive.py), over ALL keyframes ever created (the
+                # resident store evicts; the archive does not). The live
+                # volume then restarts from the corrected archive snapshot.
+                moved = self.archive.apply_poses(
+                    node_q, node_p, eps_t=self.archive_eps_t,
+                    eps_r=self.archive_eps_r)
+                self.odometry.tsdf_state = self.archive.snapshot_live()
+            elif self.cfg.map_backend == "occupancy":
                 from noetic_slam_tpu.models import occupancy as occ_mod
 
+                st2 = self.odometry.state
                 self.odometry.tsdf_state = occ_mod.rebuild_from_keyframes(
                     self.cfg.occupancy, st2.kf_xyz, st2.kf_valid,
                     st2.kf_pos, st2.kf_count)
             else:
+                st2 = self.odometry.state
                 self.odometry.tsdf_state = tsdf_mod.rebuild_from_keyframes(
                     self.cfg.tsdf, st2.kf_xyz, st2.kf_valid, st2.kf_pos,
                     st2.kf_count)
+        return moved
 
     # --------------------------------------------------- checkpoint/resume
     def save(self, path: str) -> None:
@@ -276,6 +343,10 @@ class SlamSystem:
         from noetic_slam_tpu.runtime import checkpoint as ck
 
         lkp = self._last_kf_pose
+        extra_arrays = None
+        if self.archive is not None:
+            extra_arrays = {f"archive_{k}": v
+                            for k, v in self.archive.pack().items()}
         ck.save_pipeline(
             path, self.odometry, self.tsdf, self.graph,
             extra_host={"slam": {
@@ -287,7 +358,8 @@ class SlamSystem:
                 "last_kf_pose": (None if lkp is None else
                                  [np.asarray(lkp[0]).tolist(),
                                   np.asarray(lkp[1]).tolist()]),
-            }})
+            }},
+            extra_arrays=extra_arrays)
 
     def load(self, path: str) -> None:
         from noetic_slam_tpu.runtime import checkpoint as ck
@@ -307,6 +379,14 @@ class SlamSystem:
         lkp = s.get("last_kf_pose")
         self._last_kf_pose = (None if lkp is None else
                               (np.asarray(lkp[0]), np.asarray(lkp[1])))
+        if self.archive is not None:
+            extra = ck.load_extra_arrays(path)
+            self.archive.unpack({k[len("archive_"):]: v
+                                 for k, v in extra.items()
+                                 if k.startswith("archive_")})
+        # Resumed graphs may exceed this instance's initial capacity.
+        if graph is not None:
+            self.max_graph_nodes = self.graph.node_q.shape[0]
 
     # ------------------------------------------------------------- results
     def flush(self):

@@ -1,0 +1,260 @@
+"""Keyframe archive + signed (exactly invertible) dense-map integration.
+
+Long-run correctness layer (runtime/archive.py): the reference accumulates
+every deskewed cloud unbounded (dliomapping.cpp:41-99) and never evicts
+keyframes (odom.cc:1517-1598); the TPU device state is fixed-capacity, so
+the archive carries the unbounded part on the host and corrects the dense
+map incrementally after loop closures.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from noetic_slam_tpu.config.params import (CapacityConfig, DlioConfig,
+                                           GicpConfig, KeyframeConfig,
+                                           OccupancyConfig, TsdfConfig)
+from noetic_slam_tpu.models import occupancy as occ_mod
+from noetic_slam_tpu.models import tsdf as tsdf_mod
+from noetic_slam_tpu.runtime.archive import KeyframeArchive, _fuse_entry
+
+
+def _cloud(seed=0, n=512, center=(5.0, 0.0, 0.0)):
+    rng = np.random.default_rng(seed)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    pts = np.stack([np.cos(ang) * 2.0 + center[0],
+                    np.sin(ang) * 2.0 + center[1],
+                    rng.uniform(0, 1, n) + center[2]], -1)
+    return pts.astype(np.float32)
+
+
+def _acfg(**kw):
+    return dataclasses.replace(
+        TsdfConfig(voxel_size=0.2, truncation=0.6, max_blocks=2048,
+                   space_carving=False, scan_block_cap=512,
+                   max_weight=tsdf_mod.NO_CLAMP), **kw)
+
+
+def test_signed_integrate_cancels_to_ulp():
+    """add then subtract of the SAME cloud cancels every voxel to rounding
+    noise (~1 ulp of the accumulated mass; scatter updates to one voxel
+    apply sequentially, so re-association leaves sub-1e-5 residue)."""
+    cfg = _acfg()
+    pts = jnp.asarray(_cloud())
+    valid = jnp.ones((pts.shape[0],), bool)
+    origin = jnp.zeros(3)
+    vol = tsdf_mod.init_tsdf(cfg)
+    vol = tsdf_mod.integrate_signed(cfg, vol, pts, valid, origin,
+                                    jnp.float32(1.0))
+    peak = float(jnp.max(jnp.abs(vol.weight)))
+    assert peak > 0.5
+    vol = tsdf_mod.integrate_signed(cfg, vol, pts, valid, origin,
+                                    jnp.float32(-1.0))
+    assert float(jnp.max(jnp.abs(vol.weight))) < 1e-5 * peak
+    assert float(jnp.max(jnp.abs(vol.wsum))) < 1e-5 * max(peak, 1.0)
+
+
+def test_subtract_leaves_untouched_voxels_bit_identical():
+    """De-fusing a DISTANT cloud must not disturb any other voxel by even
+    one bit (the 'distant closure leaves untouched regions bit-identical'
+    criterion): untouched payload rows are never read or written."""
+    cfg = _acfg()
+    near = jnp.asarray(_cloud(0, center=(4.0, 0, 0)))
+    far = jnp.asarray(_cloud(1, center=(60.0, 0, 0)))
+    v = jnp.ones((near.shape[0],), bool)
+    vol = tsdf_mod.init_tsdf(cfg)
+    vol = tsdf_mod.integrate_signed(cfg, vol, near, v, jnp.zeros(3),
+                                    jnp.float32(1.0))
+    vol = tsdf_mod.integrate_signed(cfg, vol, far, v,
+                                    jnp.asarray([55.0, 0, 0]),
+                                    jnp.float32(1.0))
+    w_before, ws_before = jax.device_get((vol.weight, vol.wsum))
+
+    # Partition payload rows geometrically: the far cloud (x in [58, 62])
+    # with 0.6 m truncation band cannot touch any block whose x extent lies
+    # below 40 m — those rows must stay bit-identical.
+    keys, slots = jax.device_get((vol.dir_keys, vol.dir_slots))
+    bx = (keys.astype(np.int64) & 0x7FF) - 1024      # block x coord
+    block_m = 8 * cfg.voxel_size
+    near_rows = np.asarray(
+        [int(slots[i]) for i, k in enumerate(keys)
+         if k != np.iinfo(np.int32).max and (bx[i] + 1) * block_m < 40.0],
+        np.int64)
+    far_rows = np.asarray(
+        [int(slots[i]) for i, k in enumerate(keys)
+         if k != np.iinfo(np.int32).max and bx[i] * block_m > 40.0],
+        np.int64)
+    assert len(near_rows) > 10 and len(far_rows) > 10
+
+    vol = tsdf_mod.integrate_signed(cfg, vol, far, v,
+                                    jnp.asarray([55.0, 0, 0]),
+                                    jnp.float32(-1.0))
+    w_after, ws_after = jax.device_get((vol.weight, vol.wsum))
+    assert np.array_equal(w_before[near_rows], w_after[near_rows])
+    assert np.array_equal(ws_before[near_rows], ws_after[near_rows])
+    # and the far region cancelled to ~0
+    assert np.max(np.abs(w_after[far_rows])) < 1e-4
+
+
+def test_occupancy_signed_cancel():
+    cfg = dataclasses.replace(
+        OccupancyConfig(voxel_size=0.2, max_blocks=2048, scan_block_cap=512,
+                        miss_samples=8), l_min=-1e30, l_max=1e30)
+    pts = jnp.asarray(_cloud())
+    v = jnp.ones((pts.shape[0],), bool)
+    vol = occ_mod.init_occupancy(cfg)
+    vol = occ_mod.integrate_signed(cfg, vol, pts, v, jnp.zeros(3),
+                                   jnp.float32(1.0))
+    assert float(jnp.sum(jnp.abs(vol.logodds))) > 0
+    vol = occ_mod.integrate_signed(cfg, vol, pts, v, jnp.zeros(3),
+                                   jnp.float32(-1.0))
+    assert float(jnp.max(jnp.abs(vol.logodds))) < 1e-5
+
+
+def test_archive_quantization_error():
+    """int16 local-frame storage stays well under LiDAR noise (<5 mm at
+    these ranges)."""
+    live = TsdfConfig(voxel_size=0.2, truncation=0.6, max_blocks=2048,
+                      space_carving=False, scan_block_cap=512)
+    ar = KeyframeArchive(live)
+    pts = _cloud(3, center=(8.0, 3.0, 0.5))
+    valid = np.ones((pts.shape[0],), bool)
+    q = np.asarray([0.9689124, 0.0, 0.0, 0.2474040], np.float32)  # 28.6 deg
+    p = np.asarray([1.0, -2.0, 0.3], np.float32)
+    ar.add(0, q, p, pts, valid)
+    e = ar.entries[0]
+    from noetic_slam_tpu.utils.geometry import quat_to_mat
+
+    R = np.asarray(jax.device_get(quat_to_mat(jnp.asarray(q))))
+    world_back = (e.xyz_q.astype(np.float32) * e.scale) @ R.T + p
+    err = np.linalg.norm(world_back - pts, axis=-1)
+    assert np.max(err) < 5e-3, np.max(err)
+
+
+def test_snapshot_matches_sequential_live_integration():
+    """Below the live max_weight clamp, snapshot_live equals integrating
+    the same (dequantized) clouds sequentially with the live config."""
+    live = TsdfConfig(voxel_size=0.2, truncation=0.6, max_blocks=2048,
+                      space_carving=False, scan_block_cap=512)
+    ar = KeyframeArchive(live)
+    poses = [(np.asarray([1.0, 0, 0, 0], np.float32),
+              np.asarray([0.0, 0, 0], np.float32)),
+             (np.asarray([1.0, 0, 0, 0], np.float32),
+              np.asarray([0.5, 0.2, 0], np.float32))]
+    for i, (q, p) in enumerate(poses):
+        pts = _cloud(i, center=(5.0 + i, 0, 0))
+        ar.add(i, q, p, pts, np.ones((pts.shape[0],), bool))
+    snap = ar.snapshot_live()
+
+    ref = tsdf_mod.init_tsdf(live)
+    for i, (q, p) in enumerate(poses):
+        e = ar.entries[i]
+        ref = _fuse_entry(live, ref, jnp.asarray(e.xyz_q),
+                          jnp.float32(e.scale), jnp.asarray(e.valid),
+                          jnp.asarray(e.q), jnp.asarray(e.p),
+                          jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(snap.weight),
+                               np.asarray(ref.weight), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(snap.wsum),
+                               np.asarray(ref.wsum), atol=1e-5)
+    assert int(snap.num_blocks) == int(ref.num_blocks)
+
+
+def test_apply_poses_incremental_equals_fresh():
+    """Moving half the keyframes via subtract/re-add equals building a
+    fresh archive at the final poses (the incremental-closure criterion)."""
+    live = TsdfConfig(voxel_size=0.2, truncation=0.6, max_blocks=2048,
+                      space_carving=False, scan_block_cap=512)
+    ar = KeyframeArchive(live)
+    qs = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (4, 1))
+    ps = np.asarray([[0, 0, 0], [2, 0, 0], [4, 0, 0], [6, 0, 0]],
+                    np.float32)
+    clouds = [_cloud(i, center=(5.0, 2.0 * i, 0)) for i in range(4)]
+    for i in range(4):
+        ar.add(i, qs[i], ps[i], clouds[i], np.ones((512,), bool))
+
+    new_p = ps.copy()
+    new_p[2] += [0.4, -0.2, 0.1]
+    new_p[3] += [0.8, -0.4, 0.2]
+    moved = ar.apply_poses(qs, new_p)
+    assert moved == 2
+
+    fresh = KeyframeArchive(live)
+    for i in range(4):
+        e = ar.entries[i]
+        # same quantized payload, final poses
+        fresh.entries[i] = dataclasses.replace(e)
+        fresh.volume = _fuse_entry(
+            fresh.cfg, fresh.volume, jnp.asarray(e.xyz_q),
+            jnp.float32(e.scale), jnp.asarray(e.valid),
+            jnp.asarray(qs[i]), jnp.asarray(new_p[i]), jnp.float32(1.0))
+    a, b = jax.device_get((ar.snapshot_live().weight,
+                           fresh.snapshot_live().weight))
+    # moved-region voxel sets may map to different payload slots in the two
+    # directories; compare per-key. Simpler sufficient check: total mass +
+    # per-volume occupied voxel count agree tightly.
+    assert abs(a.sum() - b.sum()) < 1e-3 * max(a.sum(), 1.0)
+    assert np.sum(a > 0.5) == np.sum(b > 0.5)
+
+
+def test_slam_archive_and_graph_growth_past_saturation():
+    """SlamSystem on a long low-thresh run with a tiny initial graph: nodes
+    must grow past the initial capacity without dangling ids, every synced
+    keyframe must be archived, and a closure past saturation must not
+    crash. (The round-2 hazard: silent add_node no-op + out-of-bounds node
+    indexing at first closure past max_graph_nodes.)"""
+    from noetic_slam_tpu.models import posegraph as pg
+    from noetic_slam_tpu.utils import synthetic
+    from noetic_slam_tpu.utils.synthetic import loop_pose_of
+    from noetic_slam_tpu.runtime.slam import SlamSystem
+
+    cfg = DlioConfig(
+        capacity=CapacityConfig(
+            max_points=4096, max_ds_points=2048, max_deskew_frames=1024,
+            max_imu_window=128, max_keyframes=16, max_submap_kf=8),
+        keyframe=KeyframeConfig(thresh_dist=1.0, thresh_rot=45.0),
+        adaptive=False,
+        tsdf=TsdfConfig(voxel_size=0.25, truncation=0.75, max_blocks=4096,
+                        space_carving=False, scan_block_cap=1024))
+    sim = synthetic.make_sim(duration=20.0, scan_hz=5.0, n_points=2048,
+                             calib_time=3.1, seed=13, pose_fn=loop_pose_of)
+    slam = SlamSystem(cfg, enable_tsdf=True, enable_loop_closure=True,
+                      loop_radius=5.0, loop_min_gap=15)
+    # shrink the graph to force growth mid-run
+    slam.graph = pg.init_graph(8, 8)
+    slam.max_graph_nodes = 8
+
+    imu_i = 0
+    for s in range(len(sim.scan_stamps)):
+        header, xyz, pt = sim.scan(s)
+        sweep_end = header + pt.max()
+        while (imu_i < len(sim.imu_stamps)
+               and sim.imu_stamps[imu_i] <= sweep_end + 0.02):
+            slam.push_imu(sim.imu_stamps[imu_i], sim.imu_ang[imu_i],
+                          sim.imu_acc[imu_i])
+            imu_i += 1
+        slam.process_scan(header, xyz, pt)
+        if s % 5 == 0:
+            slam.maybe_close_loop()
+    slam.maybe_close_loop()
+
+    n_nodes = int(slam.graph.n_nodes)
+    assert n_nodes > 8, "growth never triggered"
+    assert slam.graph.node_q.shape[0] >= n_nodes
+    assert n_nodes == slam._synced_total
+    # resident store saturated (16) but ALL keyframes ever are archived
+    assert int(slam.odometry.state.kf_total) > 16
+    assert len(slam.archive) == slam._synced_total
+    # odometry chain intact: edges >= nodes - 1
+    assert int(slam.graph.n_edges) >= n_nodes - 1
+    # every slot->node id is in range
+    assert all(0 <= v < n_nodes for v in slam._slot_node.values())
+    # map coverage includes evicted geometry: surface voxels span the loop
+    if slam.loop_closures:
+        surf = slam.surface_points(min_weight=0.5)
+        assert len(surf) > 0
+        span = surf[:, :2].max(0) - surf[:, :2].min(0)
+        assert span.min() > 20.0, span   # the ~32 m circle, not one corner

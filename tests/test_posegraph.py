@@ -156,3 +156,41 @@ def test_cg_scales_to_k256(rng):
     assert cost1 < cost0 * 1e-3, (cost0, cost1)
     p_err = np.linalg.norm(np.asarray(g2.node_p)[:256] - gt_p, axis=-1)
     assert p_err.max() < 0.05, p_err.max()
+
+
+def test_grow_preserves_graph_and_optimize(rng):
+    """pg.grow: building a graph through doubling growth yields the same
+    optimize() result as building it directly at the final capacity —
+    node ids stay valid, padded nodes/edges are inert."""
+    gt_q, gt_p, est_q, est_p, edges = _circle_graph(rng=rng)
+
+    big = pg.init_graph(16, 32)
+    grown = pg.init_graph(4, 4)
+    for k in range(len(gt_q)):
+        if int(grown.n_nodes) + 1 > grown.node_q.shape[0]:
+            grown = pg.grow(grown, max_nodes=2 * grown.node_q.shape[0])
+        q, p = (jnp.asarray(est_q[k], jnp.float32),
+                jnp.asarray(est_p[k], jnp.float32))
+        big = pg.add_node(big, q, p)
+        grown = pg.add_node(grown, q, p)
+    for (i, j, dq, dp) in edges:
+        if int(grown.n_edges) + 1 > grown.edge_i.shape[0]:
+            grown = pg.grow(grown, max_edges=2 * grown.edge_i.shape[0])
+        args = (jnp.int32(i), jnp.int32(j), jnp.asarray(dq, jnp.float32),
+                jnp.asarray(dp, jnp.float32))
+        big = pg.add_edge(big, *args)
+        grown = pg.add_edge(grown, *args)
+
+    assert int(grown.n_nodes) == len(gt_q)
+    assert int(grown.n_edges) == len(edges)
+    assert grown.node_q.shape[0] >= len(gt_q) > 4
+    assert grown.edge_i.shape[0] >= len(edges) > 4
+
+    ob = pg.optimize(big, iters=15)
+    og = pg.optimize(grown, iters=15)
+    n = len(gt_q)
+    np.testing.assert_allclose(np.asarray(og.node_p)[:n],
+                               np.asarray(ob.node_p)[:n], atol=1e-5)
+    np.testing.assert_allclose(np.abs(np.sum(
+        np.asarray(og.node_q)[:n] * np.asarray(ob.node_q)[:n], -1)),
+        1.0, atol=1e-6)
