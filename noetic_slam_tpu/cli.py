@@ -439,7 +439,12 @@ def cmd_batch(args) -> int:
         print("no sequences given (--mulran and/or --synthetic)",
               file=sys.stderr)
         return 2
-    D = args.devices or len(jax.devices())
+    n_dev = len(jax.devices())
+    D = args.devices or n_dev
+    if D > n_dev:
+        print(f"--devices {D} > {n_dev} available; clamping to {n_dev}",
+              file=sys.stderr)
+        D = n_dev
     while B % D:
         D -= 1                      # largest mesh size dividing B
     mesh = make_mesh(D, axis="batch") if D > 1 else None

@@ -175,16 +175,20 @@ def esdf_at(cfg: TsdfConfig, state: TsdfState, points: Array,
             shape: tuple = (64, 64, 32), max_dist: float = 5.0):
     """Signed distance at query points (N, 3): materializes the covering
     region (its corner = min of the query AABB) and trilinearly
-    interpolates. Queries must fit in ``shape`` voxels; out-of-region
-    queries clamp to the border value."""
+    interpolates. Queries must fit in ``shape`` voxels; a query whose AABB
+    overflows the region reads the max_dist ("unknown/far") sentinel
+    rather than silently clamping to a border voxel's value (out-of-region
+    distances would otherwise be wrong with no signal — ADVICE r2)."""
     v = cfg.voxel_size
     lo = jnp.min(points, axis=0) - 2.0 * v
     esdf, observed, _ = esdf_region(cfg, state, lo, shape=shape,
                                     max_dist=max_dist)
     base = jnp.floor(lo / v) * v
     u = (points - base) / v - 0.5                 # center-of-voxel coords
-    u = jnp.clip(u, 0.0, jnp.asarray(
-        [shape[0] - 1.001, shape[1] - 1.001, shape[2] - 1.001]))
+    hi_ok = jnp.asarray([shape[0] - 1.001, shape[1] - 1.001,
+                         shape[2] - 1.001])
+    in_region = jnp.all((u >= -0.5) & (u <= hi_ok + 0.5), axis=-1)
+    u = jnp.clip(u, 0.0, hi_ok)
     i0 = jnp.floor(u).astype(jnp.int32)
     f = u - i0
     # Observation-weighted trilinear blend: unobserved corners hold the
@@ -202,4 +206,5 @@ def esdf_at(cfg: TsdfConfig, state: TsdfState, points: Array,
                 wgt = wgt * observed[ix, iy, iz]
                 vals = vals + wgt * esdf[ix, iy, iz]
                 wsum = wsum + wgt
-    return jnp.where(wsum > 1e-6, vals / jnp.maximum(wsum, 1e-6), max_dist)
+    out = jnp.where(wsum > 1e-6, vals / jnp.maximum(wsum, 1e-6), max_dist)
+    return jnp.where(in_region, out, max_dist)

@@ -402,6 +402,17 @@ def run_lockstep(mp: MultiSequencePipeline, feeds,
             lambda s, a, c, i=i: mp.push_imu(i, s, a, c))
 
     pending = [pull(i) for i in range(n)]
+    for i in range(n):
+        f = mp.frontends[i]
+        if pending[i] is None and not f.calibrated:
+            # Feed ended (or had no IMU) before static calibration
+            # completed: give the sequence an inert default state so one
+            # dead bag cannot abort the whole N-bag run (_ensure_state
+            # requires every frontend calibrated). The sequence idles
+            # through zero-point skip steps and flushes an empty
+            # trajectory.
+            f.state = init_state(mp.cfg)
+            f.calibrated = True
     while any(p is not None for p in pending):
         batch_rounds: List[List[ScanItem]] = []
         for _ in range(R):

@@ -107,3 +107,30 @@ def test_esdf_region_occupancy_wall():
     assert np.quantile(err, 0.9) < 2.0 * ocfg.voxel_size, err.max()
     wall = observed & (np.abs(centers[..., 0] - 4.05) < 0.02)
     assert wall.sum() > 10 and np.median(esdf[wall]) <= 0.0
+
+
+def test_esdf_at_out_of_region_reads_sentinel():
+    """A query outside the materialized region must read the max_dist
+    sentinel, not a silently-clamped border voxel's distance (ADVICE r2:
+    the old clamp returned wrong distances with no signal)."""
+    cfg = TsdfConfig(voxel_size=0.25, truncation=0.75, max_blocks=2048,
+                     space_carving=True, carving_samples=8,
+                     scan_block_cap=1024)
+    rng = np.random.default_rng(0)
+    n = 2000
+    pts = np.c_[np.full(n, 3.0), rng.uniform(-2, 2, n),
+                rng.uniform(-1, 1, n)].astype(np.float32)
+    st = tsdf_mod.init_tsdf(cfg)
+    for _ in range(3):
+        st = tsdf_mod.integrate(cfg, st, jnp.asarray(pts),
+                                jnp.ones((n,), bool), jnp.zeros(3))
+    # in-region queries near the wall + one far outside the (16,16,8)
+    # region that the AABB min anchors
+    q = np.asarray([[2.0, 0.0, 0.0],       # region anchor / free space
+                    [2.9, 0.0, 0.0],       # near the wall
+                    [2.0 + 16 * 0.25 + 5.0, 0.0, 0.0]],  # beyond region
+                   np.float32)
+    vals = np.asarray(esdf_mod.esdf_at(cfg, st, jnp.asarray(q),
+                                       shape=(16, 16, 8), max_dist=2.0))
+    assert vals[1] < vals[0]               # closer to the wall
+    assert vals[2] == 2.0                  # sentinel, not a border value
