@@ -27,9 +27,15 @@ from noetic_slam_tpu.ops import gicp as gicp_ops
 CFG = GicpConfig()
 
 
-def make_cloud(kind, offset=np.zeros(3), n=1500, seed=1):
-    """Structured test scenes (walls have ~1 cm surface noise)."""
+def make_cloud(kind, offset=np.zeros(3), n=1500, seed=1,
+               structure_seed=None):
+    """Structured test scenes (walls have ~1 cm surface noise). For the
+    outdoor kinds, ``structure_seed`` fixes the underlying STRUCTURE
+    (clump/rock layout) while ``seed`` varies the point sampling — a true
+    revisit pair shares structure_seed with different seeds."""
     r = np.random.default_rng(seed)
+    rs = np.random.default_rng(
+        99 if structure_seed is None else structure_seed)
     m = n // 3
     if kind == "corner":     # two perpendicular walls + floor: observable
         a = np.c_[r.uniform(0, 6, m), np.full(m, 3.0) + r.normal(0, .01, m),
@@ -47,6 +53,22 @@ def make_cloud(kind, offset=np.zeros(3), n=1500, seed=1):
         c = np.c_[r.uniform(-5, 5, m), r.uniform(-2, 2, m),
                   r.normal(0, .01, m)]
         pts = np.concatenate([a, b, c])
+    elif kind == "vegetation":  # clumped volumetric scatter over rough
+        nc = 30                 # ground: noisy normals, fat-tail residuals
+        centers = np.c_[rs.uniform(-4, 4, (nc, 2)), rs.uniform(0.3, 2.2, nc)]
+        k = r.integers(0, nc, 2 * m)
+        veg = centers[k] + r.normal(0, 0.35, (2 * m, 3))
+        ground = np.c_[r.uniform(-4, 4, m), r.uniform(-4, 4, m),
+                       r.normal(0, 0.05, m)]
+        pts = np.concatenate([veg, ground])
+    elif kind == "slope":       # 15 % sloped rough ground + sparse rocks:
+        g = np.c_[r.uniform(-5, 5, 2 * m), r.uniform(-5, 5, 2 * m)]
+        z = 0.15 * g[:, 0] + r.normal(0, 0.03, 2 * m)   # near-planar
+        nr = 6
+        rocks_c = np.c_[rs.uniform(-4, 4, (nr, 2)), rs.uniform(0.1, 0.4, nr)]
+        k = r.integers(0, nr, m)
+        rocks = rocks_c[k] + r.normal(0, 0.15, (m, 3))
+        pts = np.concatenate([np.c_[g, z], rocks])
     else:                     # clutter: unstructured noise normals
         pts = r.uniform(-4, 4, (3 * m, 3)) * np.array([1, 1, 0.4])
     return (pts + offset).astype(np.float32)
@@ -95,6 +117,75 @@ def test_aliased_corridor_rejected():
 def test_wrong_place_clutter_rejected():
     src = make_cloud("corner", seed=8)
     tgt = make_cloud("clutter", offset=np.array([1.0, 2.0, 0.0]), seed=9)
+    _, ok = _verify(src, tgt)
+    assert not ok
+
+
+def _metrics(src, tgt):
+    """verify_loop's decision metrics for one candidate pair."""
+    sv = jnp.ones((src.shape[0],), bool)
+    scov, _ = gicp_ops.plane_covariances(jnp.asarray(src), sv,
+                                         CFG.k_correspondences)
+    tcov, _ = gicp_ops.plane_covariances(jnp.asarray(tgt),
+                                         jnp.ones((tgt.shape[0],), bool),
+                                         CFG.k_correspondences)
+    res = gicp_ops.gicp_align(jnp.asarray(src), sv, scov, jnp.asarray(tgt),
+                              tcov, CFG, max_corr_dist=2 * CFG.max_corr_dist)
+    nc = max(float(res.num_corr), 1.0)
+    return (float(res.error) / nc,
+            float(jnp.linalg.eigvalsh(res.H[3:, 3:] / nc)[0]))
+
+
+def test_outdoor_roc_margins():
+    """ROC margins of the verify_loop thresholds on the outdoor battery
+    (measured table in verify_loop's docstring): every false candidate —
+    wrong-place vegetation and sloped ground, the hardest outdoor aliases —
+    must sit BELOW half the observability threshold, and the structured
+    true match (corner at 2/3 overlap) ABOVE twice it, so any threshold in
+    [2x max-false, 0.5x min-true-structured] yields zero false positives;
+    the chosen 5.0 is inside that window."""
+    false_eigs = []
+    for s in range(2):
+        src = make_cloud("vegetation", seed=2 + s, structure_seed=50 + s)
+        tgt = make_cloud("vegetation", offset=np.array([0.5, 0.3, 0.0]),
+                         seed=30 + s, structure_seed=70 + s)
+        false_eigs.append(_metrics(src, tgt)[1])
+        src = make_cloud("slope", seed=2 + s, structure_seed=60 + s)
+        tgt = make_cloud("slope", offset=np.array([0.3, 0.2, 0.0]),
+                         seed=30 + s, structure_seed=80 + s)
+        false_eigs.append(_metrics(src, tgt)[1])
+
+    # structured true match at partial (2/3) overlap
+    src = make_cloud("corner", seed=2)
+    t_full = make_cloud("corner", offset=np.array([0.15, -0.1, 0.05]),
+                        seed=30)
+    tgt = t_full[t_full[:, 0] > 2.5]
+    me_true, eig_true = _metrics(src, tgt)
+
+    thresh = 5.0                     # verify_loop min_trans_eig default
+    assert max(false_eigs) < 0.5 * thresh, false_eigs
+    assert eig_true > 2.0 * thresh, eig_true
+    assert me_true < 0.5 * 1.5      # max_error margin
+
+    # end-to-end: the partial-overlap true pair is ACCEPTED by verify_loop
+    _, ok = _verify(src, tgt)
+    assert ok
+
+
+def test_outdoor_unverifiable_true_pairs_rejected():
+    """Vegetation-only / slope-only TRUE revisits are rejected as
+    UNVERIFIABLE (measured: their recovered translation undershoots the
+    true offset — the slide is unconstrained, so even a right-place match
+    would contribute a wrong measurement). Conservative direction: cost is
+    unclosed drift, never map corruption."""
+    src = make_cloud("vegetation", seed=2, structure_seed=50)
+    tgt = make_cloud("vegetation", offset=np.array([0.15, -0.1, 0.05]),
+                     seed=30, structure_seed=50)
+    _, ok = _verify(src, tgt)
+    assert not ok
+    src = make_cloud("slope", seed=2, structure_seed=60)
+    tgt = make_cloud("slope", offset=np.array([0.1, 0.08, 0.02]),
+                     seed=30, structure_seed=60)
     _, ok = _verify(src, tgt)
     assert not ok
 
