@@ -2,12 +2,27 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-``vs_baseline`` is the real-time factor against the reference's operating
-point: DLIO is designed to run online at the LiDAR rate, 10 Hz
-(src/ouster/launch/driver.launch:15-21; the repo publishes no benchmark
-table — BASELINE.md), so vs_baseline = scans_per_sec / 10.
+``vs_baseline`` IS A REAL-TIME FACTOR (the key name is fixed by the driver
+schema): the reference's operating point is online at the LiDAR sensor
+rate, 10 Hz (src/ouster/launch/driver.launch:15-21; the repo publishes no
+benchmark table — BASELINE.md), so vs_baseline = scans_per_sec / 10.
+``extras.vs_baseline_semantics`` states this in-band.
 
-Env knobs: BENCH_TINY=1 (CPU smoke test), BENCH_SCANS=N (default 40).
+Three throughput numbers are reported (VERDICT r2 item 3):
+- ``value`` / K=8 replay: micro-batched throughput (one dispatch per 8
+  scans) — the replay/batch operating point; adds ~K/rate of latency.
+- ``extras.online_*``: K=1 per-scan submission — the reference's online
+  node operating point (per-scan ms display, odom.cc:1966-1971) — with
+  p50/p95 per-scan latency measured INCLUDING a per-scan dependent pose
+  fetch through the transport (what a live consumer experiences here).
+- ``extras.slam_fused_scans_per_sec``: odometry + TSDF fusion in one
+  jitted program (make_slam_step) — what `cli slam` sustains.
+
+``extras.roofline``: achieved GFLOP/s / GB/s and %-of-peak for the NN and
+TSDF kernels measured in-run on this chip (full table: ROOFLINE.md).
+
+Env knobs: BENCH_TINY=1 (CPU smoke test), BENCH_SCANS=N (default 180),
+BENCH_SKIP_ROOFLINE=1, BENCH_SKIP_ONLINE=1.
 """
 
 import json
@@ -146,6 +161,164 @@ def main():
     t2 = time.perf_counter()
     tsdf_per_sec = 1.0 / max(((t2 - t1) - (t1 - t0)) / 5, 1e-9)
 
+    # ---- Online (K=1) operating point + per-scan latency percentiles ----
+    # The reference runs online at the sensor rate displaying per-scan ms
+    # (odom.cc:1966-1971); this is that operating point: one submission per
+    # scan. Rate comes from the slope method (fixed fetch overhead
+    # cancelled); latency percentiles are measured with a dependent
+    # per-scan pose fetch INCLUDED (what a live consumer of this transport
+    # experiences end-to-end).
+    online = {}
+    if os.environ.get("BENCH_SKIP_ONLINE") != "1":
+        n_on = 24 if tiny else 96
+        sim2 = synthetic.make_sim(duration=n_on / 10.0 + 0.4,
+                                  n_points=n_pts, calib_time=3.1, seed=11)
+        scans2 = [sim2.scan(i)
+                  for i in range(min(n_on, len(sim2.scan_stamps)))]
+        pipe2 = OdometryPipeline(cfg)
+        imu_j = 0
+
+        def feed2(through):
+            nonlocal imu_j
+            while (imu_j < len(sim2.imu_stamps)
+                   and sim2.imu_stamps[imu_j] <= through):
+                pipe2.push_imu(sim2.imu_stamps[imu_j], sim2.imu_ang[imu_j],
+                               sim2.imu_acc[imu_j])
+                imu_j += 1
+
+        feed2(1e9)
+
+        def run_k1(lo, hi):
+            for i in range(lo, hi):
+                h, xyz, pt = scans2[i]
+                pipe2.process_scan(h, xyz, pt)
+            return float(jnp.sum(pipe2.state.lidar_p))
+
+        ow0 = min(6, len(scans2) // 4)
+        a1 = max(2, (len(scans2) - ow0) // 5)
+        a2 = min(2 * a1, len(scans2) - ow0 - a1 - 8)
+        run_k1(0, ow0)                      # compile + bootstrap
+        t0 = time.perf_counter()
+        run_k1(ow0, ow0 + a1)
+        t1 = time.perf_counter()
+        run_k1(ow0 + a1, ow0 + a1 + a2)
+        t2 = time.perf_counter()
+        k1_ms = ((t2 - t1) - (t1 - t0)) / max(a2 - a1, 1) * 1e3
+        lat = []
+        for i in range(ow0 + a1 + a2, len(scans2)):
+            h, xyz, pt = scans2[i]
+            t0 = time.perf_counter()
+            out = pipe2.process_scan(h, xyz, pt)
+            float(jnp.sum(out.lidar_p))     # dependent per-scan fetch
+            lat.append(time.perf_counter() - t0)
+        lat_a = np.asarray(lat[1:]) if len(lat) > 1 else np.asarray(lat)
+        online = {
+            "online_scans_per_sec_k1": round(1e3 / max(k1_ms, 1e-9), 2),
+            "online_latency_ms_p50": round(
+                float(np.percentile(lat_a, 50)) * 1e3, 2),
+            "online_latency_ms_p95": round(
+                float(np.percentile(lat_a, 95)) * 1e3, 2),
+            "online_latency_includes_fetch": True,
+        }
+
+    # ---- Fused odometry+TSDF (make_slam_step) — the `cli slam` rate ----
+    slam_fused = {}
+    if os.environ.get("BENCH_SKIP_SLAM") != "1":
+        pipe3 = OdometryPipeline(cfg, with_tsdf=True)
+        imu_k = 0
+
+        def feed3(through):
+            nonlocal imu_k
+            while (imu_k < len(sim.imu_stamps)
+                   and sim.imu_stamps[imu_k] <= through):
+                pipe3.push_imu(sim.imu_stamps[imu_k], sim.imu_ang[imu_k],
+                               sim.imu_acc[imu_k])
+                imu_k += 1
+
+        def run_fused(lo, hi):
+            for b0 in range(lo, hi, K):
+                chunk = scans[b0: min(b0 + K, hi)]
+                feed3(max(h + pt.max() for h, _, pt in chunk) + 0.02)
+                pipe3.process_scans([(h, xyz, pt) for h, xyz, pt in chunk])
+            return (float(jnp.sum(pipe3.state.lidar_p))
+                    + float(jnp.sum(pipe3.tsdf_state.weight[:, 0])))
+
+        # independent whole-K windows (the odometry section's w0/n1/n2 are
+        # reused by value, not by name — a shared mutable name cost r03 a
+        # compile landing inside a timed window)
+        fw0, fn1 = 2 * K, n1
+        fn2 = min(3 * fn1, (len(scans) - fw0 - fn1) // K * K)
+        run_fused(0, fw0)                   # compile + bootstrap
+        t0 = time.perf_counter()
+        run_fused(fw0, fw0 + fn1)
+        t1 = time.perf_counter()
+        run_fused(fw0 + fn1, fw0 + fn1 + fn2)
+        t2 = time.perf_counter()
+        fused_ms = ((t2 - t1) - (t1 - t0)) / (fn2 - fn1) * 1e3
+        slam_fused = {"slam_fused_scans_per_sec": round(
+            1e3 / max(fused_ms, 1e-9), 2)}
+
+    # ---- In-run roofline/MFU lines (full table: ROOFLINE.md) ----
+    roofline = {}
+    if os.environ.get("BENCH_SKIP_ROOFLINE") != "1" and not tiny:
+        from noetic_slam_tpu.ops import neighbors
+        from noetic_slam_tpu.ops.pointcloud import morton_sort_key
+        from noetic_slam_tpu.runtime.profiling import chip_peaks, slope_timer
+
+        peaks, chip = chip_peaks()
+        rngr = np.random.default_rng(0)
+        n_t, n_q = 65536, 8192
+        planes = rngr.integers(0, 6, n_t)
+        tpts = rngr.uniform(-30, 30, (n_t, 3)).astype(np.float32)
+        for ax in range(3):
+            tpts[planes == ax, ax] = -30.0
+            tpts[planes == ax + 3, ax] = 30.0
+        mk = morton_sort_key(jnp.asarray(tpts), jnp.ones((n_t,), bool), 1.0)
+        tgt = jnp.asarray(tpts[np.argsort(np.asarray(mk), kind="stable")])
+
+        def f_nn(c):
+            q = tgt[:n_q] + c * 1e-4 + 0.02
+            idx, sqd = neighbors.nn1(q, tgt, jnp.int32(n_t),
+                                     max_dist=jnp.float32(0.5))
+            return c + jnp.sum(sqd) * 1e-12 + idx[0] * 1e-12
+        f_nn = jax.jit(f_nn)
+
+        def run_nn(k):
+            y = jnp.float32(0.0)
+            for i in range(k):
+                y = f_nn(y + np.float32(i) * np.float32(1e-6))
+            return float(y)
+
+        # long windows: the per-call time (~1 ms) is far below the relay's
+        # round-trip jitter, so short chains produce noisy slopes
+        nn_sec = slope_timer(run_nn, n1=8, n2=32)
+        nn_gflops = 8.0 * n_q * n_t / nn_sec / 1e9
+
+        # TSDF integrate basis from the measurement above: lower-bound
+        # traffic = 1R+1W of the 4-stream sample payload + touched rows.
+        n_band = int(round(2.0 * tcfg.truncation / tcfg.voxel_size)) + 1
+        S_samp = cap.max_points * (n_band + (tcfg.carving_samples
+                                             if tcfg.space_carving else 0))
+        nb = int(jax.device_get(tstate.num_blocks))
+        tsdf_ms = 1e3 / max(tsdf_per_sec, 1e-9)
+        tsdf_bytes = 2 * S_samp * 16 + nb * 512 * 4 * 2 * 2
+        tsdf_gbps = tsdf_bytes / (tsdf_ms * 1e-3) / 1e9
+        roofline = {
+            "chip": chip,
+            "peak_bf16_tflops": peaks[0] if peaks else None,
+            "peak_hbm_gbps": peaks[1] if peaks else None,
+            "nn1_capped_8192x65536_ms": round(nn_sec * 1e3, 3),
+            "nn1_dense_equiv_gflops": round(nn_gflops, 1),
+            "nn1_pct_mxu_peak": (round(nn_gflops / (peaks[0] * 1e3) * 100, 2)
+                                 if peaks else None),
+            "nn1_flops_basis": "dense-equivalent (kernel prunes; floor)",
+            "tsdf_integrate_ms": round(tsdf_ms, 3),
+            "tsdf_lower_bound_gbps": round(tsdf_gbps, 1),
+            "tsdf_pct_hbm_peak": (round(tsdf_gbps / peaks[1] * 100, 2)
+                                  if peaks else None),
+            "tsdf_bytes_basis": "1R+1W sample streams + touched rows (floor)",
+        }
+
     # Real-ingest ATE on the committed MulRan-format fixture (the BASELINE
     # primary accuracy metric, through the real CSV/bin parsers + replay).
     mulran_ate = None
@@ -173,11 +346,16 @@ def main():
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 10.0, 3),
         "extras": {
+            "vs_baseline_semantics":
+                "realtime_factor_vs_10hz_sensor_rate (driver.launch:15-21)",
             "tsdf_integrations_per_sec": round(tsdf_per_sec, 1),
             "ate_rmse_m_synthetic": round(ate, 4),
             "ate_rmse_m_mulran_fixture": (None if mulran_ate is None
                                           else round(mulran_ate, 4)),
             "submap_overflow": pipe.submap_overflow,
+            **online,
+            **slam_fused,
+            **({"roofline": roofline} if roofline else {}),
         },
     }
     print(json.dumps(result))
@@ -185,6 +363,7 @@ def main():
           f"keyframes={int(pipe.state.kf_count)} "
           f"submap_overflow={pipe.submap_overflow} "
           f"tsdf_integrations_per_sec={tsdf_per_sec:.1f} "
+          f"online={online} slam_fused={slam_fused} "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
 
