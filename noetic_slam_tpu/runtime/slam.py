@@ -143,8 +143,16 @@ class SlamSystem:
         self.graph = pg.grow(self.graph, max_nodes=cap_n, max_edges=cap_e)
         self.max_graph_nodes = cap_n
 
+        # ONE batched fetch of the new keyframes' clouds for the archive
+        # (per-slot fetches cost a relay round trip each — minutes over a
+        # thousand-keyframe run).
+        if self.archive is not None and new_slots:
+            sel = np.asarray(new_slots)
+            xyz_new, valid_new = jax.device_get(
+                (st.kf_xyz[jnp.asarray(sel)], st.kf_valid[jnp.asarray(sel)]))
+
         new = 0
-        for s in new_slots:
+        for k, s in enumerate(new_slots):
             q_s, p_s = jnp.asarray(kf_q[s]), jnp.asarray(kf_p[s])
             self.graph = pg.add_node(self.graph, q_s, p_s)
             if self._last_kf_pose is not None:
@@ -156,9 +164,8 @@ class SlamSystem:
             self._slot_node[s] = node
             self._last_kf_pose = (kf_q[s].copy(), kf_p[s].copy())
             if self.archive is not None:
-                xyz_s, valid_s = jax.device_get(
-                    (st.kf_xyz[s], st.kf_valid[s]))
-                self.archive.add(node, kf_q[s], kf_p[s], xyz_s, valid_s)
+                self.archive.add(node, kf_q[s], kf_p[s], xyz_new[k],
+                                 valid_new[k])
             node += 1
             new += 1
         self._synced_total = total

@@ -32,6 +32,23 @@ def loop_pose_of(t, period=20.0, radius=8.0):
     return Rz, p
 
 
+def spiral_pose_of(t, period=20.0, r0=8.0, dr=0.6):
+    """Expanding-spiral trajectory: every lap runs ``dr`` meters outside
+    the previous one, so the vehicle keeps covering NEW ground (keyframe
+    creation never stops — the km-scale soak regime) while each lap passes
+    within ``dr`` of the previous lap (loop-closure candidates the whole
+    run). Yaw follows the path."""
+    t = float(t)
+    ang = 2 * np.pi * t / period
+    r = r0 + dr * t / period
+    p = np.array([r * np.sin(ang), r0 - r * np.cos(ang),
+                  0.02 * np.sin(0.7 * t)])
+    yaw = ang
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz, p
+
+
 @dataclasses.dataclass
 class Sim:
     world: np.ndarray            # (W, 3) surface points

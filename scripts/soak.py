@@ -78,7 +78,7 @@ def main():
     from noetic_slam_tpu.models import posegraph as pg
     from noetic_slam_tpu.runtime.slam import SlamSystem
     from noetic_slam_tpu.utils import synthetic
-    from noetic_slam_tpu.utils.synthetic import loop_pose_of
+    from noetic_slam_tpu.utils.synthetic import loop_pose_of, spiral_pose_of
 
     cfg = build_cfg(tiny)
     # 10 Hz scans: the odometry's designed operating point (the prior is
@@ -88,8 +88,13 @@ def main():
     scan_hz = 10.0
     import functools
 
+    # Tiny: one small closed lap (fast CI). Full: an expanding SPIRAL of
+    # laps — a repeated identical circle stops creating keyframes after
+    # lap 1 (revisits inside thresh_dist), which starves eviction/growth;
+    # the spiral keeps covering new ground at ~0.6 m/lap offset while each
+    # lap stays in closure range of the previous one.
     pose_fn = (functools.partial(loop_pose_of, period=12.0, radius=5.0)
-               if tiny else loop_pose_of)
+               if tiny else spiral_pose_of)
     dur = n_scans / scan_hz + 0.4
     n_pts = 2048 if tiny else 8192
     print(f"soak: {n_scans} scans, {dur:.0f} s sim, "
@@ -104,6 +109,11 @@ def main():
         # force growth in the tiny regression too
         slam.graph = pg.init_graph(16, 16)
         slam.max_graph_nodes = 16
+    else:
+        # start BELOW the expected keyframe total so growth-past-saturation
+        # is exercised at production scale (~1200 keyframes over the run)
+        slam.graph = pg.init_graph(256, 512)
+        slam.max_graph_nodes = 256
 
     imu_i = 0
 
