@@ -189,8 +189,10 @@ def radius_covariances(xyz: Array, valid: Array, radius: float = 0.5,
         s_i = sum_j w_ij,  m_i = sum_j w_ij x_j,  S_i = sum_j w_ij x_j x_j^T
 
     as three MXU matmuls over the d^2 tiles — no top_k, no gathers. The
-    density metric is the weighted mean neighbor distance scaled to match
-    the reference's kNN statistic on uniform surface sampling.
+    density metric is 2 sigma^2 / (effective neighbor count s_i), which
+    tracks the local spacing^2 like the reference's kNN statistic
+    (nano_gicp.cc:346-389) on uniform AND gradient sampling (pinned by
+    tests/test_gicp.py::test_radius_density_proxy_tracks_knn_statistic).
 
     Returns (covs (N, 6), density ()).
     """
@@ -216,15 +218,12 @@ def radius_covariances(xyz: Array, valid: Array, radius: float = 0.5,
         d2 = (qxx[:, None] - 2.0 * jnp.dot(
             qx, xc.T, precision=jax.lax.Precision.HIGHEST) + xx[None, :])
         w = jnp.exp(-d2 / (2.0 * sig2)) * w_valid[None, :]
-        mom = jnp.dot(w, feats, precision=jax.lax.Precision.HIGHEST)
-        wd2 = jnp.sum(w * d2, axis=-1)
-        return mom, wd2
+        return jnp.dot(w, feats, precision=jax.lax.Precision.HIGHEST)
 
     q_all = jnp.concatenate([xc, xx[:, None]], axis=-1).reshape(
         -1, chunk, 4)
-    mom, wd2 = jax.lax.map(per_chunk, q_all)
+    mom = jax.lax.map(per_chunk, q_all)
     mom = mom.reshape(n, 11)
-    wd2 = wd2.reshape(n)
 
     s = jnp.maximum(mom[:, 0], 1e-6)
     mu = mom[:, 1:4] / s[:, None]
@@ -239,14 +238,20 @@ def radius_covariances(xyz: Array, valid: Array, radius: float = 0.5,
     reg = eye - (1.0 - 1e-3) * nrm[..., :, None] * nrm[..., None, :]
     reg = jnp.where(valid[:, None, None], reg, eye)
 
-    # Density proxy: weighted mean squared neighbor distance, scaled so a
-    # uniform surface grid gives approximately the reference kNN statistic
-    # (mean of 15 neighbor sq-dists / 135 ~ h^2/9 for spacing h; the
-    # Gaussian-weighted mean sq-dist is ~2 sigma^2-limited, so calibrate by
-    # the ratio on the r=2h regime). The value feeds an LPF then hard
-    # clipping (odom.cc:1612-1621), so the approximation is benign.
-    mean_d2 = wd2 / jnp.maximum(mom[:, 0], 1e-6)
-    per_point = mean_d2 / 9.0
+    # Density estimate from the effective neighbor COUNT, not the mean
+    # weighted sq-dist: the Gaussian-weighted mean sq-dist saturates at the
+    # window scale (~2 sigma^2) once sampling is dense, so it tracks the
+    # kernel radius instead of the point spacing (measured: flat under a
+    # 3.2x density change — tests/test_gicp.py pins this). For a surface
+    # sampled at spacing h, the weighted count s = sum_j exp(-d2/2 sig^2)
+    # ~ 2 pi sig^2 / h^2 (2D Riemann sum incl. self), so 2 sig^2 / s
+    # ~ h^2 / pi, which matches the reference kNN statistic
+    # sum(sqd[1:]) / ((k-1)(k+2)/2) ~ 0.32 h^2 (nano_gicp.cc:346-389)
+    # within ~3% on uniform grids and ~15% under 4x-gradient sampling.
+    # Sparse limit (no neighbors in the window): s -> 1, estimate
+    # saturates at 2 sig^2 — large, i.e. "sparse", the right direction
+    # for the adaptive consumer (an LPF + hard clip, odom.cc:1612-1621).
+    per_point = 2.0 * sig2 / jnp.maximum(mom[:, 0], 1.0)
     density = jnp.sum(per_point * w_valid) / cnt
     return mat_to_sym6(reg), density
 

@@ -111,3 +111,49 @@ def test_smallest_eigvec_matches_eigh(rng):
         want = v[:, :, 0]
         dots = np.abs(np.sum(got * want, axis=-1))
         np.testing.assert_allclose(dots, 1.0, atol=2e-3)
+
+
+def test_radius_density_proxy_tracks_knn_statistic():
+    """VERDICT r2 weak 9: the radius-covariance density proxy (mean
+    Gaussian-weighted sq-dist / 9, gicp.py radius_covariances) was
+    calibrated by hand against the reference kNN statistic
+    (sum(sqd[1:]) / ((k-1)(k+2)/2), nano_gicp.cc:346-389). Pin it on
+    NON-uniform sampling: (a) the proxy stays within a fixed band of the
+    kNN statistic on a density-gradient cloud, and (b) when the cloud's
+    density changes, the proxy scales by the same factor as the statistic
+    (what the adaptive-params consumer, an LPF + hard clip, actually
+    needs — odom.cc:1612-1621)."""
+    rng = np.random.default_rng(5)
+
+    def gradient_cloud(scale):
+        # planar surface whose sampling density varies ~4x across x, plus
+        # a dense cluster patch: strongly non-uniform
+        n = 1500
+        u = rng.random(n) ** 2.0                    # denser near u=0
+        x = u * 8.0
+        y = rng.uniform(0, 8.0, n)
+        base = np.c_[x, y, 0.02 * rng.standard_normal(n)]
+        patch = np.c_[rng.uniform(3, 3.6, 300), rng.uniform(3, 3.6, 300),
+                      0.02 * rng.standard_normal(300)]
+        return (np.concatenate([base, patch]) * scale).astype(np.float32)
+
+    cloud1 = gradient_cloud(1.0)
+    cloud2 = gradient_cloud(1.8)      # ~1.8x coarser spacing -> ~3.2x d2
+    v1 = jnp.ones((cloud1.shape[0],), bool)
+
+    _, den_knn1 = gicp.plane_covariances(jnp.asarray(cloud1), v1, 16)
+    _, den_prox1 = gicp.radius_covariances(jnp.asarray(cloud1), v1, 0.5)
+    _, den_knn2 = gicp.plane_covariances(jnp.asarray(cloud2), v1, 16)
+    _, den_prox2 = gicp.radius_covariances(jnp.asarray(cloud2), v1, 0.5)
+    den_knn1, den_prox1, den_knn2, den_prox2 = map(
+        float, (den_knn1, den_prox1, den_knn2, den_prox2))
+
+    # (a) absolute band on non-uniform sampling
+    ratio1 = den_prox1 / den_knn1
+    assert 0.3 < ratio1 < 3.0, (den_prox1, den_knn1)
+    # (b) density-change tracking: proxy scale factor within 40% of the
+    # kNN statistic's scale factor
+    f_knn = den_knn2 / den_knn1
+    f_prox = den_prox2 / den_prox1
+    assert f_knn > 1.5                                 # the change is real
+    assert 0.6 < f_prox / f_knn < 1.67, (f_knn, f_prox)
