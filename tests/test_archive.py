@@ -258,3 +258,36 @@ def test_slam_archive_and_graph_growth_past_saturation():
         assert len(surf) > 0
         span = surf[:, :2].max(0) - surf[:, :2].min(0)
         assert span.min() > 20.0, span   # the ~32 m circle, not one corner
+
+
+def test_archive_occupancy_backend_roundtrip():
+    """KeyframeArchive over the occupancy backend: add/move/snapshot
+    produce a clamped live OccupancyState with occupied voxels where the
+    clouds are."""
+    live = OccupancyConfig(voxel_size=0.2, max_blocks=2048,
+                           scan_block_cap=512, miss_samples=8)
+    ar = KeyframeArchive(live, backend="occupancy")
+    q = np.asarray([1.0, 0, 0, 0], np.float32)
+    for i in range(2):
+        pts = _cloud(i, center=(5.0 + i, 0, 0))
+        ar.add(i, q, np.asarray([0.2 * i, 0, 0], np.float32), pts,
+               np.ones((pts.shape[0],), bool))
+    new_p = np.asarray([[0, 0, 0], [0.6, 0.1, 0]], np.float32)
+    moved = ar.apply_poses(np.stack([q, q]), new_p)
+    assert moved == 1
+    snap = ar.snapshot_live()
+    from noetic_slam_tpu.models.occupancy import extract_occupied
+
+    # clamped to the live config
+    assert float(jnp.max(snap.logodds)) <= live.l_max + 1e-6
+    assert float(jnp.min(snap.logodds)) >= live.l_min - 1e-6
+    centers, L, mask = jax.device_get(extract_occupied(live, snap))
+    occ = centers[mask]
+    assert len(occ) > 50
+    # occupied voxels concentrated near the two rings (radius 2 around
+    # the cloud centers)
+    d0 = np.abs(np.linalg.norm(occ[:, :2] - np.asarray([5.0, 0.0]),
+                               axis=-1) - 2.0)
+    d1 = np.abs(np.linalg.norm(occ[:, :2] - np.asarray([6.6, 0.1]),
+                               axis=-1) - 2.0)
+    assert np.median(np.minimum(d0, d1)) < 0.3

@@ -86,3 +86,55 @@ def test_fixture_packets_parse_back(fixture_dir):
         if n_scans >= 3 and n_imu >= 10:
             break
     assert n_scans >= 3 and n_imu >= 10
+
+
+def test_dual_return_pcap_stream_e2e(tmp_path):
+    """Dual-return wire-format stream end-to-end (VERDICT r2 'harder
+    fixtures' item): synthesize a RNG19_RFL8_SIG16_NIR16_DUAL packet
+    stream with a 2nd return 1.5 m beyond the 1st (foliage-style), write
+    a real pcap, replay it through read_pcap -> ScanBatcher, and project
+    BOTH returns — the 2nd-return cloud must land ~1.5 m further out
+    (the reference's per-return PointCloudProcessor role,
+    point_cloud_processor.h:62-74)."""
+    from noetic_slam_tpu.io import ouster as ou
+    from noetic_slam_tpu.io import pcap as pcap_mod
+    from tests.test_ouster import _build_packet_fields, _simple_info
+
+    info = _simple_info(h=8, w=32, profile=ou.PROFILE_DUAL)
+    pf = ou.PacketFormat(info)
+    h, w = info.pixels_per_column, info.columns_per_frame
+    r1 = np.full((h, w), 8000, np.uint32)          # 8 m first return
+    r2 = r1 + 1500                                 # +1.5 m second return
+    packets = []
+    for f in range(3):
+        for p in range(w // pf.cols):
+            m_ids = np.arange(p * pf.cols, (p + 1) * pf.cols)
+            ts = 10 ** 9 * (f + 1) + m_ids.astype(np.uint64) * 1000
+            cols = slice(p * pf.cols, (p + 1) * pf.cols)
+            pkt = _build_packet_fields(
+                pf, f, m_ids, ts,
+                {"range": r1[:, cols], "range2": r2[:, cols],
+                 "reflectivity": np.full((h, pf.cols), 7, np.uint8),
+                 "reflectivity2": np.full((h, pf.cols), 9, np.uint8)})
+            packets.append((float(f) + p * 1e-3, 7502, pkt))
+    path = str(tmp_path / "dual.pcap")
+    pcap_mod.write_pcap(path, packets, src_port=7502)
+
+    direction, offset = ou.make_xyz_lut(info)
+    scans = [s for (kind, _, s) in
+             pcap_mod.replay_pcap_scans(path, info) if kind == "scan"]
+    assert len(scans) >= 2
+    scan = scans[0]
+    assert scan.range2 is not None
+    np.testing.assert_array_equal(scan.range[:, scan.status != 0], 8000)
+    np.testing.assert_array_equal(scan.range2[:, scan.status != 0], 9500)
+    xyz1, _, v1, _ = ou.scan_to_points(scan, direction, offset,
+                                       scan_ts_ns=int(scan.timestamp[0]),
+                                       return_idx=0)
+    xyz2, _, v2, _ = ou.scan_to_points(scan, direction, offset,
+                                       scan_ts_ns=int(scan.timestamp[0]),
+                                       return_idx=1)
+    d1 = np.linalg.norm(xyz1[v1], axis=-1)
+    d2 = np.linalg.norm(xyz2[v2], axis=-1)
+    assert v1.sum() == v2.sum() == h * w
+    np.testing.assert_allclose(d2.mean() - d1.mean(), 1.5, atol=0.02)
