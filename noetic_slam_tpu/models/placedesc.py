@@ -1,0 +1,151 @@
+"""Rotation-invariant place-recognition descriptors (scan-context class).
+
+New capability beyond the reference (its checkout has no loop closure at
+all; our proximity detector — posegraph.detect_loop_candidate — needs the
+pose estimate to already be within ``loop_radius`` of the truth, which
+fails exactly when closures matter most: large drift, or revisits whose
+keyframes the bounded resident store has evicted). Descriptors are
+computed once per keyframe and matched against EVERY keyframe ever
+created (the host archive, runtime/archive.py), so place recognition
+survives both drift and eviction.
+
+Design, TPU-first:
+
+- Descriptor: an (R rings x S sectors) polar grid over the keyframe's
+  LOCAL-frame cloud, each cell holding the max point height (the
+  scan-context statistic — height profiles are what LiDAR scenes keep
+  under viewpoint change). Gravity alignment comes free: keyframe frames
+  are gravity-aligned by the odometry observer.
+- Matching: a yaw offset between two visits of one place circularly
+  shifts the sector axis. After L2-normalizing each sector column, the
+  standard scan-context distance (mean over sectors of per-column cosine)
+  collapses to a PLAIN DOT PRODUCT of the flattened grids — so scoring a
+  query against K stored descriptors under ALL S candidate yaw shifts is
+  ONE einsum: (S, R*S) rolled-query stack x (K, R*S) store -> (K, S)
+  scores on the MXU, max over shifts, argmax over store. No loops, no
+  gathers, one matmul of a few million MACs.
+- The store is a device array with doubling capacity (same growth pattern
+  as posegraph.grow); new rows upload incrementally at keyframe rate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+N_RINGS = 20
+N_SECTORS = 60
+
+
+def ring_descriptor(xyz: np.ndarray, valid: np.ndarray,
+                    max_range: float = 40.0,
+                    n_rings: int = N_RINGS,
+                    n_sectors: int = N_SECTORS) -> np.ndarray:
+    """(R, S) max-height polar grid of one LOCAL-frame keyframe cloud
+    (host numpy — runs once per keyframe at archive time)."""
+    pts = np.asarray(xyz, np.float32)[np.asarray(valid, bool)]
+    if len(pts) == 0:
+        return np.zeros((n_rings, n_sectors), np.float32)
+    r = np.linalg.norm(pts[:, :2], axis=-1)
+    keep = (r > 0.3) & (r < max_range)
+    pts, r = pts[keep], r[keep]
+    if len(pts) == 0:
+        return np.zeros((n_rings, n_sectors), np.float32)
+    ring = np.minimum((r / max_range * n_rings).astype(np.int64),
+                      n_rings - 1)
+    sector = ((np.arctan2(pts[:, 1], pts[:, 0]) + np.pi)
+              / (2 * np.pi) * n_sectors).astype(np.int64) % n_sectors
+    desc = np.zeros((n_rings, n_sectors), np.float32)
+    np.maximum.at(desc, (ring, sector), pts[:, 2])
+    return desc
+
+
+def _normalize_columns(d: Array) -> Array:
+    """L2-normalize each sector column; all-empty columns -> 0 (they then
+    contribute nothing to the cosine sum, like scan-context's column
+    skipping)."""
+    n = jnp.linalg.norm(d, axis=-2, keepdims=True)
+    return jnp.where(n > 1e-6, d / jnp.maximum(n, 1e-6), 0.0)
+
+
+@jax.jit
+def match_store(query: Array, store: Array, count: Array,
+                exclude_from: Array):
+    """Best-matching stored descriptor for ``query`` under all yaw shifts.
+
+    query: (R, S); store: (K, R, S) (rows < count valid); nodes with id >=
+    exclude_from are ignored (recent keyframes — trivial self-matches).
+    Returns (best_node, best_score, best_shift) where score in [0, 1] is
+    the mean per-sector cosine at the best circular shift.
+    """
+    R, S = query.shape
+    qn = _normalize_columns(query)
+    rolled = jnp.stack([jnp.roll(qn, j, axis=-1) for j in range(S)])
+    sn = _normalize_columns(store)
+    # occupied-column count per pair bounds the achievable sum; normalize
+    # by the QUERY's occupied columns so empty store rows can't score high
+    q_cols = jnp.sum(jnp.any(query > 1e-6, axis=-2))
+    scores = jnp.einsum("jrs,krs->kj", rolled.reshape(S, R, S), sn,
+                        precision=jax.lax.Precision.HIGHEST)
+    scores = scores / jnp.maximum(q_cols.astype(jnp.float32), 1.0)
+    best_shift = jnp.argmax(scores, axis=-1)                   # (K,)
+    best_k = jnp.max(scores, axis=-1)                          # (K,)
+    ids = jnp.arange(store.shape[0])
+    eligible = (ids < count) & (ids < exclude_from)
+    best_k = jnp.where(eligible, best_k, -1.0)
+    node = jnp.argmax(best_k)
+    return node, best_k[node], best_shift[node]
+
+
+class DescriptorStore:
+    """Host+device store of per-keyframe descriptors with doubling
+    capacity; matching runs on device against the full history."""
+
+    def __init__(self, cap: int = 256):
+        self._host = np.zeros((cap, N_RINGS, N_SECTORS), np.float32)
+        self._dev = jnp.asarray(self._host)
+        self.count = 0
+
+    def add(self, node: int, desc: np.ndarray) -> None:
+        cap = self._host.shape[0]
+        if node >= cap:
+            while cap <= node:
+                cap *= 2
+            grown = np.zeros((cap, N_RINGS, N_SECTORS), np.float32)
+            grown[: self._host.shape[0]] = self._host
+            self._host = grown
+            self._dev = jnp.asarray(self._host)
+        self._host[node] = desc
+        # incremental device update: one small row upload
+        self._dev = self._dev.at[node].set(jnp.asarray(desc))
+        self.count = max(self.count, node + 1)
+
+    def query(self, desc: np.ndarray, min_gap: int):
+        """(node, score, shift) of the best historical match, excluding
+        the newest ``min_gap`` keyframes."""
+        if self.count <= min_gap:
+            return -1, 0.0, 0
+        node, score, shift = match_store(
+            jnp.asarray(desc), self._dev, jnp.int32(self.count),
+            jnp.int32(self.count - min_gap))
+        return int(node), float(score), int(shift)
+
+    # ------------------------------------------------------- persistence
+    def pack(self) -> dict:
+        return {"desc": self._host[: self.count].copy()}
+
+    def unpack(self, data: dict) -> None:
+        d = np.asarray(data.get("desc", np.zeros((0, N_RINGS, N_SECTORS),
+                                                 np.float32)), np.float32)
+        cap = 256
+        while cap < max(len(d), 1):
+            cap *= 2
+        self._host = np.zeros((cap, N_RINGS, N_SECTORS), np.float32)
+        self._host[: len(d)] = d
+        self._dev = jnp.asarray(self._host)
+        self.count = len(d)

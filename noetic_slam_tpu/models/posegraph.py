@@ -391,7 +391,8 @@ def detect_loop_candidate(kf_pos: Array, kf_count: Array, cur_idx: Array,
 
 def verify_loop(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov,
                 cfg: GicpConfig, max_corr_dist: float = 1.5,
-                max_error: float = 1.5, min_trans_eig: float = 5.0):
+                max_error: float = 1.5, min_trans_eig: float = 5.0,
+                guess=None):
     """GICP-verify a candidate: align the two keyframe clouds (both already
     in world frame); accept iff the alignment is converged, well-fitting,
     and OBSERVABLE. Returns (T_corr, accepted).
@@ -440,9 +441,15 @@ def verify_loop(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov,
 
     A geometrically identical scene elsewhere (perfect alias) is locally
     indistinguishable by construction; that case is rejected by the
-    odometry-drift budget gate in SlamSystem.maybe_close_loop."""
+    odometry-drift budget gate in SlamSystem.maybe_close_loop.
+
+    ``guess``: optional (4, 4) initial transform — descriptor-detected
+    candidates (SlamSystem, models/placedesc) arrive with metres of drift
+    and a known yaw offset, far outside the correspondence radius from
+    identity."""
+    kwargs = {} if guess is None else {"guess": jnp.asarray(guess)}
     res = gicp_ops.gicp_align(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov,
-                              cfg, max_corr_dist=max_corr_dist)
+                              cfg, max_corr_dist=max_corr_dist, **kwargs)
     ncorr = jnp.maximum(res.num_corr.astype(jnp.float32), 1.0)
     mean_err = res.error / ncorr
     trans_eig = jnp.linalg.eigvalsh(res.H[3:, 3:] / ncorr)[0]

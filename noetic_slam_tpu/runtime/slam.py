@@ -37,7 +37,9 @@ class SlamSystem:
                  drift_budget_frac: float = 0.05,
                  drift_budget_min: float = 0.3,
                  archive: bool | None = None,
-                 archive_eps_t: float = 0.01, archive_eps_r: float = 0.005):
+                 archive_eps_t: float = 0.01, archive_eps_r: float = 0.005,
+                 use_descriptors: bool = True,
+                 desc_min_score: float = 0.55):
         self.cfg = cfg or DlioConfig()
         self.odometry = OdometryPipeline(self.cfg, with_tsdf=enable_tsdf)
         self.enable_tsdf = enable_tsdf
@@ -62,6 +64,21 @@ class SlamSystem:
         self.archive_eps_t = archive_eps_t
         self.archive_eps_r = archive_eps_r
         self.closure_log: list = []     # per-closure {moved, seconds}
+        # Descriptor-based place recognition (models/placedesc): matches
+        # the latest keyframe against EVERY keyframe ever created, so loop
+        # detection survives both drift (proximity detection needs the
+        # estimate already near the truth) and resident-store eviction.
+        # Verified candidates go through the same GICP + observability +
+        # drift-budget gates as proximity candidates.
+        self.desc_store = None
+        if enable_loop_closure and use_descriptors:
+            from noetic_slam_tpu.models.placedesc import DescriptorStore
+
+            self.desc_store = DescriptorStore()
+        self.desc_min_score = desc_min_score
+        self._node_slot: dict = {}       # graph node -> resident slot
+        self._last_desc_query_node = -1
+        self.loop_closures_descriptor = 0
         # Drift budget: a verified closure whose pose correction exceeds
         # drift_budget_frac x (path length around the loop) + minimum slack
         # is treated as a geometric alias (a structurally identical scene
@@ -143,10 +160,12 @@ class SlamSystem:
         self.graph = pg.grow(self.graph, max_nodes=cap_n, max_edges=cap_e)
         self.max_graph_nodes = cap_n
 
-        # ONE batched fetch of the new keyframes' clouds for the archive
-        # (per-slot fetches cost a relay round trip each — minutes over a
-        # thousand-keyframe run).
-        if self.archive is not None and new_slots:
+        # ONE batched fetch of the new keyframes' clouds for the archive +
+        # descriptors (per-slot fetches cost a relay round trip each —
+        # minutes over a thousand-keyframe run).
+        need_clouds = (self.archive is not None
+                       or self.desc_store is not None)
+        if need_clouds and new_slots:
             sel = np.asarray(new_slots)
             xyz_new, valid_new = jax.device_get(
                 (st.kf_xyz[jnp.asarray(sel)], st.kf_valid[jnp.asarray(sel)]))
@@ -161,18 +180,38 @@ class SlamSystem:
                                           q_s, p_s)
                 self.graph = pg.add_edge(self.graph, jnp.int32(node - 1),
                                          jnp.int32(node), dq, dp)
+            old_node = self._slot_node.get(s)
+            if old_node is not None:
+                self._node_slot.pop(old_node, None)    # slot evicted
             self._slot_node[s] = node
+            self._node_slot[node] = s
             self._last_kf_pose = (kf_q[s].copy(), kf_p[s].copy())
             if self.archive is not None:
                 self.archive.add(node, kf_q[s], kf_p[s], xyz_new[k],
                                  valid_new[k])
+            if self.desc_store is not None:
+                from noetic_slam_tpu.models.placedesc import ring_descriptor
+                from noetic_slam_tpu.utils.geometry import quat_to_mat
+
+                R = np.asarray(jax.device_get(quat_to_mat(q_s)))
+                local = (xyz_new[k] - kf_p[s]) @ R
+                self.desc_store.add(node, ring_descriptor(local,
+                                                          valid_new[k]))
             node += 1
             new += 1
         self._synced_total = total
         return new
 
     def maybe_close_loop(self) -> bool:
-        """Detect + verify + apply one loop closure for the latest keyframe.
+        """Detect + verify + apply one loop closure for the latest
+        keyframe. Two candidate sources, both feeding the same
+        verification + drift-budget gates:
+
+        1. pose PROXIMITY over the resident store (cheap; needs the
+           estimate already within loop_radius of the truth);
+        2. DESCRIPTOR matching over every keyframe ever created
+           (models/placedesc; drift- and eviction-robust), with the
+           matched yaw shift seeding the GICP verification guess.
 
         Returns True if a closure was applied."""
         if not self.enable_loop_closure:
@@ -183,15 +222,93 @@ class SlamSystem:
             return False
         seq = jax.device_get(st.kf_seq)
         cur = int(np.argmax(seq))
+        if cur not in self._slot_node:
+            return False            # not synced into the graph (yet)
+        cur_node = self._slot_node[cur]
+
+        # --- 1) proximity candidate (resident store) ---
         cand, ok = pg.detect_loop_candidate(
             st.kf_pos, st.kf_count, jnp.int32(cur),
             self.loop_radius, self.loop_min_gap, kf_seq=st.kf_seq)
-        if not bool(ok):
-            return False
-        cand = int(cand)
-        if cand not in self._slot_node or cur not in self._slot_node:
-            return False            # not synced into the graph (yet/anymore)
+        if bool(ok):
+            cand = int(cand)
+            if cand in self._slot_node:
+                kq_c, kp_c = jax.device_get((st.kf_quat[cand],
+                                             st.kf_pos[cand]))
+                if self._attempt_closure(
+                        cur, cur_node, self._slot_node[cand],
+                        st.kf_xyz[cand], st.kf_cov[cand], kq_c, kp_c):
+                    return True
 
+        # --- 2) descriptor candidate (full history) ---
+        if self.desc_store is None or cur_node == self._last_desc_query_node:
+            return False
+        self._last_desc_query_node = cur_node
+        if cur_node >= self.desc_store.count:
+            return False
+        node, score, shift = self.desc_store.query(
+            self.desc_store._host[cur_node], self.loop_min_gap)
+        if node < 0 or score < self.desc_min_score:
+            return False
+        cand_xyz, cand_cov, cand_q, cand_p = self._candidate_data(node)
+        if cand_xyz is None:
+            return False
+        # yaw prior from the matched sector shift: R_cur_true =
+        # R_cand Rz(psi), psi = 2 pi shift / S (models/placedesc geometry)
+        from noetic_slam_tpu.models.placedesc import N_SECTORS
+        from noetic_slam_tpu.utils.geometry import make_se3
+
+        psi = 2.0 * np.pi * shift / N_SECTORS
+        if psi > np.pi:
+            psi -= 2.0 * np.pi
+        kq_u, kp_u = jax.device_get((st.kf_quat[cur], st.kf_pos[cur]))
+        Rz = np.eye(4, dtype=np.float32)
+        Rz[0, 0] = Rz[1, 1] = np.cos(psi)
+        Rz[0, 1], Rz[1, 0] = -np.sin(psi), np.sin(psi)
+        T_cand = np.asarray(jax.device_get(make_se3(
+            jnp.asarray(cand_q), jnp.asarray(cand_p))))
+        T_est = np.asarray(jax.device_get(make_se3(
+            jnp.asarray(kq_u), jnp.asarray(kp_u))))
+        guess = (T_cand @ Rz @ np.linalg.inv(T_est)).astype(np.float32)
+        applied = self._attempt_closure(
+            cur, cur_node, node, cand_xyz, cand_cov, cand_q, cand_p,
+            guess=guess)
+        if applied:
+            self.loop_closures_descriptor += 1
+        return applied
+
+    def _candidate_data(self, node: int):
+        """Cloud + covariances + pose of a candidate graph node: from the
+        resident store when the slot is live, else dequantized from the
+        archive (covariances recomputed on device — closure-rate cost)."""
+        st = self.odometry.state
+        slot = self._node_slot.get(node)
+        if slot is not None:
+            kq_c, kp_c = jax.device_get((st.kf_quat[slot],
+                                         st.kf_pos[slot]))
+            return st.kf_xyz[slot], st.kf_cov[slot], kq_c, kp_c
+        if self.archive is None or node not in self.archive.entries:
+            return None, None, None, None
+        from noetic_slam_tpu.ops import gicp as gicp_ops
+        from noetic_slam_tpu.utils.geometry import quat_to_mat
+
+        e = self.archive.entries[node]
+        q_j = jnp.asarray(e.q)
+        local = jnp.asarray(e.xyz_q).astype(jnp.float32) * jnp.float32(
+            e.scale)
+        world = local @ quat_to_mat(q_j).T + jnp.asarray(e.p)
+        valid = jnp.asarray(e.valid)
+        world = jnp.where(valid[:, None], world, 1e6)   # mask padded rows
+        cov, _ = gicp_ops.plane_covariances(world, valid,
+                                            self.cfg.gicp.k_correspondences)
+        return world, cov, e.q, e.p
+
+    def _attempt_closure(self, cur: int, cur_node: int, cand_node: int,
+                         cand_xyz, cand_cov, cand_q, cand_p,
+                         guess=None) -> bool:
+        """Verify one candidate and, if it passes every gate, apply the
+        closure (loop edge + optimize + map deformation)."""
+        st = self.odometry.state
         # Verification gets its own full solver budget: it runs at
         # closure-candidate rate (rare), and a starved per-scan iteration
         # budget must not decide accept/reject at the convergence knife
@@ -204,8 +321,9 @@ class SlamSystem:
             lm_max_iterations=max(self.cfg.gicp.lm_max_iterations, 10))
         T_corr, accepted = pg.verify_loop(
             st.kf_xyz[cur], st.kf_valid[cur], st.kf_cov[cur],
-            st.kf_xyz[cand], st.kf_cov[cand], vcfg,
-            max_corr_dist=2.0 * self.cfg.gicp.max_corr_dist)
+            cand_xyz, cand_cov, vcfg,
+            max_corr_dist=2.0 * self.cfg.gicp.max_corr_dist,
+            guess=guess)
         if not bool(accepted):
             return False
 
@@ -213,11 +331,11 @@ class SlamSystem:
         # cloud onto the candidate's map; the loop edge measures candidate ->
         # corrected-current.
         Tc = jax.device_get(T_corr)
-        kq, kp = jax.device_get((st.kf_quat, st.kf_pos))
+        kq_u, kp_u = jax.device_get((st.kf_quat[cur], st.kf_pos[cur]))
         from noetic_slam_tpu.utils.geometry import make_se3, se3_q_p
 
         T_cur = np.asarray(jax.device_get(make_se3(
-            jnp.asarray(kq[cur]), jnp.asarray(kp[cur]))))
+            jnp.asarray(kq_u), jnp.asarray(kp_u))))
         T_fix = Tc @ T_cur
         q_fix, p_fix = jax.device_get(se3_q_p(jnp.asarray(T_fix)))
 
@@ -225,20 +343,19 @@ class SlamSystem:
         # path length accumulated between candidate and current keyframe
         # (summed along the graph's insertion-ordered node chain — slot
         # order stops being trajectory order once the store evicts).
-        cand_node, cur_node = self._slot_node[cand], self._slot_node[cur]
         node_p = jax.device_get(self.graph.node_p)
         lo, hi = min(cand_node, cur_node), max(cand_node, cur_node)
         path_len = float(np.sum(np.linalg.norm(
             np.diff(node_p[lo: hi + 1], axis=0), axis=-1)))
         budget = max(self.drift_budget_frac * path_len,
                      self.drift_budget_min)
-        correction = float(np.linalg.norm(np.asarray(p_fix) - kp[cur]))
+        correction = float(np.linalg.norm(np.asarray(p_fix) - kp_u))
         if correction > budget:
             self.loop_rejected_budget += 1
             return False
 
         dq, dp = pg.relative_pose(
-            jnp.asarray(kq[cand]), jnp.asarray(kp[cand]),
+            jnp.asarray(cand_q), jnp.asarray(cand_p),
             jnp.asarray(q_fix), jnp.asarray(p_fix))
         if int(jax.device_get(self.graph.n_edges)) + 1 > \
                 self.graph.edge_i.shape[0]:
@@ -350,10 +467,14 @@ class SlamSystem:
         from noetic_slam_tpu.runtime import checkpoint as ck
 
         lkp = self._last_kf_pose
-        extra_arrays = None
+        extra_arrays = {}
         if self.archive is not None:
-            extra_arrays = {f"archive_{k}": v
-                            for k, v in self.archive.pack().items()}
+            extra_arrays.update({f"archive_{k}": v
+                                 for k, v in self.archive.pack().items()})
+        if self.desc_store is not None:
+            extra_arrays.update({f"desc_{k}": v
+                                 for k, v in self.desc_store.pack().items()})
+        extra_arrays = extra_arrays or None
         ck.save_pipeline(
             path, self.odometry, self.tsdf, self.graph,
             extra_host={"slam": {
@@ -386,11 +507,18 @@ class SlamSystem:
         lkp = s.get("last_kf_pose")
         self._last_kf_pose = (None if lkp is None else
                               (np.asarray(lkp[0]), np.asarray(lkp[1])))
-        if self.archive is not None:
+        if self.archive is not None or self.desc_store is not None:
             extra = ck.load_extra_arrays(path)
-            self.archive.unpack({k[len("archive_"):]: v
-                                 for k, v in extra.items()
-                                 if k.startswith("archive_")})
+            if self.archive is not None:
+                self.archive.unpack({k[len("archive_"):]: v
+                                     for k, v in extra.items()
+                                     if k.startswith("archive_")})
+            if self.desc_store is not None:
+                self.desc_store.unpack({k[len("desc_"):]: v
+                                        for k, v in extra.items()
+                                        if k.startswith("desc_")})
+        self._node_slot = {v: k for k, v in self._slot_node.items()}
+        self._last_desc_query_node = -1
         # Resumed graphs may exceed this instance's initial capacity.
         if graph is not None:
             self.max_graph_nodes = self.graph.node_q.shape[0]

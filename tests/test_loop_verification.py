@@ -243,5 +243,9 @@ def test_drift_budget_rejects_perfect_alias():
 
     closed = slam.maybe_close_loop()
     assert not closed
-    assert slam.loop_rejected_budget == 1, \
+    # >= 1: the proximity candidate is budget-rejected; the descriptor
+    # second stage (models/placedesc) may surface another alias that the
+    # same gate also rejects
+    assert slam.loop_rejected_budget >= 1, \
         "the alias must be rejected by the BUDGET gate (verify passes)"
+    assert slam.loop_closures == 0
