@@ -125,14 +125,19 @@ class DescriptorStore:
         self._dev = self._dev.at[node].set(jnp.asarray(desc))
         self.count = max(self.count, node + 1)
 
-    def query(self, desc: np.ndarray, min_gap: int):
-        """(node, score, shift) of the best historical match, excluding
-        the newest ``min_gap`` keyframes."""
-        if self.count <= min_gap:
+    def query(self, desc: np.ndarray, min_gap: int = 0,
+              exclude_from: int | None = None):
+        """(node, score, shift) of the best historical match. Eligible
+        nodes are ids < ``exclude_from`` (callers matching an OLDER
+        keyframe n pass n - gap); default = count - min_gap (exclude the
+        newest min_gap entries)."""
+        if exclude_from is None:
+            exclude_from = self.count - min_gap
+        if exclude_from <= 0 or self.count == 0:
             return -1, 0.0, 0
         node, score, shift = match_store(
             jnp.asarray(desc), self._dev, jnp.int32(self.count),
-            jnp.int32(self.count - min_gap))
+            jnp.int32(exclude_from))
         return int(node), float(score), int(shift)
 
     # ------------------------------------------------------- persistence

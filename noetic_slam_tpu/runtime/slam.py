@@ -39,7 +39,7 @@ class SlamSystem:
                  archive: bool | None = None,
                  archive_eps_t: float = 0.01, archive_eps_r: float = 0.005,
                  use_descriptors: bool = True,
-                 desc_min_score: float = 0.55):
+                 desc_min_score: float = 0.65):
         self.cfg = cfg or DlioConfig()
         self.odometry = OdometryPipeline(self.cfg, with_tsdf=enable_tsdf)
         self.enable_tsdf = enable_tsdf
@@ -78,6 +78,7 @@ class SlamSystem:
         self.desc_min_score = desc_min_score
         self._node_slot: dict = {}       # graph node -> resident slot
         self._last_desc_query_node = -1
+        self._desc_match_hist: dict = {} # node -> (matched cand, shift)
         self.loop_closures_descriptor = 0
         # Drift budget: a verified closure whose pose correction exceeds
         # drift_budget_frac x (path length around the loop) + minimum slack
@@ -240,28 +241,53 @@ class SlamSystem:
                         st.kf_xyz[cand], st.kf_cov[cand], kq_c, kp_c):
                     return True
 
-        # --- 2) descriptor candidate (full history) ---
-        if self.desc_store is None or cur_node == self._last_desc_query_node:
+        # --- 2) descriptor candidates (full history) ---
+        # Every not-yet-queried keyframe gets one descriptor query; a
+        # closure is attempted only when TWO CONSECUTIVE keyframes match
+        # the same historical place (temporal consistency — a single-frame
+        # match in self-similar environments is how aliases slip through:
+        # observed in the tiny-soak room, where a first-lap alias closure
+        # passed every local gate and tripled the ATE).
+        if self.desc_store is None:
             return False
-        self._last_desc_query_node = cur_node
-        if cur_node >= self.desc_store.count:
-            return False
-        node, score, shift = self.desc_store.query(
-            self.desc_store._host[cur_node], self.loop_min_gap)
-        if node < 0 or score < self.desc_min_score:
-            return False
-        cand_xyz, cand_cov, cand_q, cand_p = self._candidate_data(node)
-        if cand_xyz is None:
-            return False
-        # yaw prior from the matched sector shift: R_cur_true =
-        # R_cand Rz(psi), psi = 2 pi shift / S (models/placedesc geometry)
+        start = self._last_desc_query_node + 1
+        for n in range(start, min(cur_node, self.desc_store.count - 1) + 1):
+            self._last_desc_query_node = n
+            cand, score, shift = self.desc_store.query(
+                self.desc_store._host[n],
+                exclude_from=n - self.loop_min_gap)
+            if cand < 0 or score < self.desc_min_score:
+                continue
+            prev = self._desc_match_hist.get(n - 1)
+            self._desc_match_hist[n] = (cand, shift)
+            if prev is None or abs(cand - prev[0]) > 5:
+                continue            # not yet temporally consistent
+            slot = self._node_slot.get(n)
+            if slot is None:
+                continue            # source keyframe already evicted
+            cand_xyz, cand_cov, cand_q, cand_p = self._candidate_data(cand)
+            if cand_xyz is None:
+                continue
+            if self._attempt_descriptor_closure(
+                    slot, n, cand, shift, cand_xyz, cand_cov, cand_q,
+                    cand_p):
+                return True
+        return False
+
+    def _attempt_descriptor_closure(self, slot, node, cand, shift,
+                                    cand_xyz, cand_cov, cand_q,
+                                    cand_p) -> bool:
+        """Seed GICP with the descriptor's yaw shift and run the common
+        verification/gating: R_true = R_cand Rz(psi), psi = 2 pi shift/S
+        (models/placedesc geometry)."""
         from noetic_slam_tpu.models.placedesc import N_SECTORS
         from noetic_slam_tpu.utils.geometry import make_se3
 
+        st = self.odometry.state
         psi = 2.0 * np.pi * shift / N_SECTORS
         if psi > np.pi:
             psi -= 2.0 * np.pi
-        kq_u, kp_u = jax.device_get((st.kf_quat[cur], st.kf_pos[cur]))
+        kq_u, kp_u = jax.device_get((st.kf_quat[slot], st.kf_pos[slot]))
         Rz = np.eye(4, dtype=np.float32)
         Rz[0, 0] = Rz[1, 1] = np.cos(psi)
         Rz[0, 1], Rz[1, 0] = -np.sin(psi), np.sin(psi)
@@ -271,7 +297,7 @@ class SlamSystem:
             jnp.asarray(kq_u), jnp.asarray(kp_u))))
         guess = (T_cand @ Rz @ np.linalg.inv(T_est)).astype(np.float32)
         applied = self._attempt_closure(
-            cur, cur_node, node, cand_xyz, cand_cov, cand_q, cand_p,
+            slot, node, cand, cand_xyz, cand_cov, cand_q, cand_p,
             guess=guess)
         if applied:
             self.loop_closures_descriptor += 1
@@ -519,6 +545,7 @@ class SlamSystem:
                                         if k.startswith("desc_")})
         self._node_slot = {v: k for k, v in self._slot_node.items()}
         self._last_desc_query_node = -1
+        self._desc_match_hist = {}
         # Resumed graphs may exceed this instance's initial capacity.
         if graph is not None:
             self.max_graph_nodes = self.graph.node_q.shape[0]

@@ -145,25 +145,29 @@ def test_descriptor_closure_fires_under_drift():
         put(i, make_cloud(kind, offset=np.array([x + 200, 50, 0]),
                           seed=20 + i, structure_seed=40 + i),
             [x + 200, 50, 0])
-    # the revisit: the SAME corner scene observed again (fresh noise),
-    # estimated 4 m away from where it really is
+    # the revisit: the SAME corner scene observed on TWO consecutive
+    # keyframes (fresh noise each), estimated 4 m away from where it
+    # really is — two because a descriptor closure requires temporal
+    # consistency (consecutive keyframes matching the same place)
     drift = np.array([4.0, 0.0, 0.0], np.float32)
     put(6, make_cloud("corner", offset=drift, seed=13), drift)
+    put(7, make_cloud("corner", offset=drift + [0.2, 0, 0], seed=14),
+        drift + [0.2, 0, 0])
 
     kf_seq = np.zeros((K,), np.int32)
-    kf_seq[:7] = np.arange(1, 8)
+    kf_seq[:8] = np.arange(1, 9)
     slam.odometry.state = st._replace(
         kf_xyz=jnp.asarray(kf_xyz), kf_valid=jnp.asarray(kf_valid),
         kf_cov=jnp.asarray(kf_cov), kf_pos=jnp.asarray(kf_pos),
-        kf_quat=jnp.asarray(kf_quat), kf_count=jnp.int32(7),
-        kf_total=jnp.int32(7), kf_seq=jnp.asarray(kf_seq))
+        kf_quat=jnp.asarray(kf_quat), kf_count=jnp.int32(8),
+        kf_total=jnp.int32(8), kf_seq=jnp.asarray(kf_seq))
 
     closed = slam.maybe_close_loop()
     assert closed, "descriptor closure must fire"
     assert slam.loop_closures_descriptor == 1
     # the revisit keyframe snapped back onto the mapped corner
-    p6 = np.asarray(jax.device_get(slam.odometry.state.kf_pos[6]))
-    assert np.linalg.norm(p6 - np.zeros(3)) < 0.5, p6
+    p7 = np.asarray(jax.device_get(slam.odometry.state.kf_pos[7]))
+    assert np.linalg.norm(p7 - np.asarray([0.2, 0, 0])) < 0.5, p7
 
 
 @pytest.mark.slow
