@@ -250,7 +250,14 @@ class SlamSystem:
         # passed every local gate and tripled the ATE).
         if self.desc_store is None:
             return False
-        start = self._last_desc_query_node + 1
+        # Query only the NEWEST few un-queried keyframes: draining an
+        # unbounded backlog makes the query pointer lag ever further
+        # behind (observed in the r3 soak: after a cooldown the loop broke
+        # on the first applied closure and never caught up, issuing
+        # "closures" for keyframes hundreds of scans old), and a stale
+        # closure is useless anyway — loop closure serves the CURRENT
+        # position.
+        start = max(self._last_desc_query_node + 1, cur_node - 3)
         for n in range(start, min(cur_node, self.desc_store.count - 1) + 1):
             self._last_desc_query_node = n
             cand, score, shift = self.desc_store.query(
@@ -271,6 +278,7 @@ class SlamSystem:
             if self._attempt_descriptor_closure(
                     slot, n, cand, shift, cand_xyz, cand_cov, cand_q,
                     cand_p):
+                self._last_desc_query_node = cur_node
                 return True
         return False
 
@@ -298,7 +306,7 @@ class SlamSystem:
         guess = (T_cand @ Rz @ np.linalg.inv(T_est)).astype(np.float32)
         applied = self._attempt_closure(
             slot, node, cand, cand_xyz, cand_cov, cand_q, cand_p,
-            guess=guess)
+            guess=guess, source="descriptor")
         if applied:
             self.loop_closures_descriptor += 1
         return applied
@@ -331,7 +339,7 @@ class SlamSystem:
 
     def _attempt_closure(self, cur: int, cur_node: int, cand_node: int,
                          cand_xyz, cand_cov, cand_q, cand_p,
-                         guess=None) -> bool:
+                         guess=None, source: str = "proximity") -> bool:
         """Verify one candidate and, if it passes every gate, apply the
         closure (loop edge + optimize + map deformation)."""
         st = self.odometry.state
@@ -400,6 +408,9 @@ class SlamSystem:
         if self.enable_tsdf and self.odometry.tsdf_state is not None:
             jax.block_until_ready(jax.tree.leaves(self.odometry.tsdf_state)[0])
         self.closure_log.append({
+            "source": source,
+            "cand_node": int(cand_node), "cur_node": int(cur_node),
+            "correction_m": round(correction, 4),
             "moved_keyframes": moved,
             "archived": 0 if self.archive is None else len(self.archive),
             "seconds": _time.perf_counter() - t0})
@@ -439,8 +450,13 @@ class SlamSystem:
         from noetic_slam_tpu.utils.geometry import quat_conj
 
         # Correction of the most recent keyframe (dq = q_new * conj(q_old)),
-        # applied to the live pose.
-        last = jnp.maximum(st.kf_count - 1, 0)
+        # applied to the live pose. NEWEST = max insertion sequence, NOT
+        # slot kf_count-1: once the store saturates and evicts, slot order
+        # stops being age order and slot K-1 holds an arbitrary keyframe —
+        # the live pose would inherit some OLD keyframe's loop correction
+        # (observed in the r3 soak as a multi-meter mid-run frame jump
+        # once per-batch syncing gave every resident slot a graph node).
+        last = jnp.argmax(st.kf_seq)
         dq = quat_normalize(quat_mul(q[last], quat_conj(old_q[last])))
         dp = p[last] - quat_rotate(dq, old_p[last])
         lidar_p = quat_rotate(dq, st.lidar_p) + dp

@@ -148,6 +148,13 @@ def main():
             chunk = [scans[i] for i in range(b0, min(b0 + K, hi))]
             feed(sys_, max(h + pt.max() for h, _, pt in chunk) + 0.02)
             sys_.process_scans([(h, x, p) for h, x, p in chunk])
+            if closures and os.environ.get("SOAK_BATCH_SYNC", "1") == "1":
+                # batch-rate sync: the store can overwrite one slot twice
+                # between syncs (losing the intermediate keyframe from the
+                # graph/archive); syncing only at closure-attempt cadence
+                # cost 27% of keyframes in the r3 first soak. `cli slam`
+                # syncs per scan.
+                sys_.sync_graph()
             if closures and (b0 - last_closure_scan >= cooldown) \
                     and (b0 % closure_every < K):
                 if sys_.maybe_close_loop():
@@ -210,6 +217,21 @@ def main():
     traj = slam.flush()
     ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
                              sim.gt_pos)
+    # per-decile aligned error profile (locates divergence in time)
+    gt_i = np.stack([np.interp(traj[:, 0], sim.gt_stamps, sim.gt_pos[:, k])
+                     for k in range(3)], -1)
+    est, gtc = traj[:, 1:4], gt_i
+    mu_e, mu_g = est.mean(0), gtc.mean(0)
+    H = (est - mu_e).T @ (gtc - mu_g)
+    U, _, Vt = np.linalg.svd(H)
+    S = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    al = ((Vt.T @ S @ U.T) @ (est - mu_e).T).T + mu_g
+    seg_err = np.linalg.norm(al - gtc, axis=-1)
+    dec = max(1, len(seg_err) // 10)
+    ate_profile = [round(float(seg_err[i:i + dec].mean()), 3)
+                   for i in range(0, len(seg_err), dec)][:10]
+    np.savez(os.environ.get("SOAK_TRAJ", "/tmp/soak_traj.npz"),
+             traj=traj, gt_stamps=sim.gt_stamps, gt_pos=sim.gt_pos)
     st = slam.odometry.state
     surf = slam.surface_points(min_weight=0.5)
     span = (surf[:, :2].max(0) - surf[:, :2].min(0)).tolist() if len(surf) \
@@ -239,11 +261,14 @@ def main():
         "loop_rejected_budget": slam.loop_rejected_budget,
         "closure_log": blocks_log,
         "archived_keyframes": len(slam.archive) if slam.archive else 0,
+        "sync_lost_keyframes": int(jax.device_get(st.kf_total))
+        - int(jax.device_get(slam.graph.n_nodes)),
         "archive_blocks_monotone": bool(
             all(b2 >= b1 for b1, b2 in zip(archive_blocks,
                                            archive_blocks[1:]))),
         "checkpoint_resume_bitwise": resume_ok,
         "ate_rmse_m": round(ate, 4),
+        "ate_profile_deciles": ate_profile,
         "surface_points": int(len(surf)),
         "surface_span_xy_m": [round(s, 1) for s in span],
     }
