@@ -124,10 +124,12 @@ class KeyframeArchive:
     def add(self, node: int, q, p, xyz_world, valid) -> None:
         """Archive one keyframe (cloud given world-frame at pose (q, p))
         and fuse it into the archive volume at that pose."""
+        from noetic_slam_tpu.utils.geometry import quat_to_mat_np
+
         q = np.asarray(q, np.float32)
         p = np.asarray(p, np.float32)
         valid = np.asarray(valid, bool)
-        R = np.asarray(jax.device_get(quat_to_mat(jnp.asarray(q))))
+        R = quat_to_mat_np(q)        # host: no per-keyframe device trip
         local = (np.asarray(xyz_world, np.float32) - p) @ R
         local = np.where(valid[:, None], local, 0.0).astype(np.float32)
         amax = float(np.abs(local).max()) if local.size else 0.0

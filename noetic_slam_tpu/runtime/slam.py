@@ -192,9 +192,9 @@ class SlamSystem:
                                  valid_new[k])
             if self.desc_store is not None:
                 from noetic_slam_tpu.models.placedesc import ring_descriptor
-                from noetic_slam_tpu.utils.geometry import quat_to_mat
+                from noetic_slam_tpu.utils.geometry import quat_to_mat_np
 
-                R = np.asarray(jax.device_get(quat_to_mat(q_s)))
+                R = quat_to_mat_np(kf_q[s])   # host: no device round trip
                 local = (xyz_new[k] - kf_p[s]) @ R
                 self.desc_store.add(node, ring_descriptor(local,
                                                           valid_new[k]))

@@ -86,6 +86,21 @@ def quat_to_mat(q: Array) -> Array:
     return m.reshape(q.shape[:-1] + (3, 3))
 
 
+def quat_to_mat_np(q) -> "np.ndarray":
+    """Host-side numpy quat->matrix (same math as quat_to_mat). For
+    host-rate callers (keyframe archiving, descriptors): a device dispatch
+    + fetch per call costs a relay round trip each — thousands over a long
+    run."""
+    import numpy as np
+
+    w, x, y, z = np.asarray(q, np.float64)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
 def mat_to_quat(m: Array) -> Array:
     """Rotation matrix (..., 3, 3) -> quaternion (..., 4) wxyz.
 
