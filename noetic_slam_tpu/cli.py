@@ -176,6 +176,15 @@ def cmd_slam(args) -> int:
               "(capacity.max_submap_kf too small for submap.knn+kcv+kcc)",
               file=sys.stderr)
 
+    if slam.enable_loop_closure:
+        n_arch = len(slam.archive) if slam.archive is not None else 0
+        print(f"loop closure: {slam.loop_closures} applied "
+              f"({slam.loop_closures_descriptor} via descriptors), "
+              f"{slam.loop_rejected_budget} budget-rejected; "
+              f"{n_arch} keyframes archived, "
+              f"graph {int(slam.graph.n_nodes)} nodes / "
+              f"{int(slam.graph.n_edges)} edges")
+
     traj = slam.flush()
     if len(traj):
         write_tum_trajectory(os.path.join(args.out, "trajectory.tum"), traj)
