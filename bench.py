@@ -103,20 +103,30 @@ def main():
         return float(jnp.sum(pipe.state.lidar_p))  # dependent fetch
 
     # Windows are whole K-multiples so every timed dispatch reuses the one
-    # compiled K-batch program (warmup covers compile + bootstrap). Long
-    # windows (4K vs 12K scans) keep the slope well above the ~10-20 ms
-    # fetch jitter of the relay.
+    # compiled K-batch program (warmup covers compile + bootstrap). THREE
+    # consecutive windows (sizes a < b < c) give three pairwise slope
+    # estimates whose MEDIAN survives a single multi-second relay stall
+    # landing inside one window (observed skewing a 2-window slope by 3x).
     w0 = 2 * K
-    n1 = max(K, (len(scans) - w0) // 4 // K * K)
-    n2 = max(K, min(3 * n1, (len(scans) - w0 - n1) // K * K))
+    rem = (len(scans) - w0) // K * K
+    a = max(K, rem // 6 // K * K)
+    b, c = 2 * a, 3 * a
     run_window(0, w0)                    # compile + bootstrap
     t0 = time.perf_counter()
-    run_window(w0, w0 + n1)
+    run_window(w0, w0 + a)
     t1 = time.perf_counter()
-    run_window(w0 + n1, w0 + n1 + n2)
+    run_window(w0 + a, w0 + a + b)
     t2 = time.perf_counter()
-    n_timed = n1 + n2
-    ms_per_scan = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
+    run_window(w0 + a + b, w0 + a + b + c)
+    t3 = time.perf_counter()
+    Ta, Tb, Tc = t1 - t0, t2 - t1, t3 - t2
+    n_timed = a + b + c
+    slopes = [(Tb - Ta) / (b - a), (Tc - Tb) / (c - b),
+              (Tc - Ta) / (c - a)]
+    print(f"# k8 windows s: {Ta:.2f}/{a} {Tb:.2f}/{b} {Tc:.2f}/{c} "
+          f"slopes ms: {[round(s * 1e3, 2) for s in slopes]}",
+          file=sys.stderr)
+    ms_per_scan = sorted(slopes)[1] * 1e3
     scans_per_sec = 1e3 / ms_per_scan
 
     traj = pipe.flush()
@@ -243,11 +253,12 @@ def main():
             return (float(jnp.sum(pipe3.state.lidar_p))
                     + float(jnp.sum(pipe3.tsdf_state.weight[:, 0])))
 
-        # independent whole-K windows (the odometry section's w0/n1/n2 are
-        # reused by value, not by name — a shared mutable name cost r03 a
-        # compile landing inside a timed window)
-        fw0, fn1 = 2 * K, n1
-        fn2 = min(3 * fn1, (len(scans) - fw0 - fn1) // K * K)
+        # independent whole-K windows (the odometry section's names are
+        # not reused — a shared mutable name cost r03 a compile landing
+        # inside a timed window)
+        fw0 = 2 * K
+        fn1 = max(K, (len(scans) - fw0) // 4 // K * K)
+        fn2 = max(K, min(3 * fn1, (len(scans) - fw0 - fn1) // K * K))
         run_fused(0, fw0)                   # compile + bootstrap
         t0 = time.perf_counter()
         run_fused(fw0, fw0 + fn1)
@@ -289,9 +300,11 @@ def main():
                 y = f_nn(y + np.float32(i) * np.float32(1e-6))
             return float(y)
 
-        # long windows: the per-call time (~1 ms) is far below the relay's
-        # round-trip jitter, so short chains produce noisy slopes
-        nn_sec = slope_timer(run_nn, n1=8, n2=32)
+        # long windows + median-of-3: the per-call time (~1 ms) is far
+        # below the relay's round-trip jitter, so single slopes varied
+        # 0.24-3.2 ms across r3 runs for the same kernel
+        nn_sec = sorted(slope_timer(run_nn, n1=8, n2=32)
+                        for _ in range(3))[1]
         nn_gflops = 8.0 * n_q * n_t / nn_sec / 1e9
 
         # TSDF integrate basis from the measurement above: lower-bound
