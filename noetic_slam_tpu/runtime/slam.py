@@ -7,9 +7,14 @@ scripts/compound-launch.sh): one object owning
 - the odometry pipeline (runtime.pipeline.OdometryPipeline),
 - the TSDF map (models.tsdf), fed with every registered world-frame cloud
   (the stream dliomapping.cpp:44 subscribed to),
-- a keyframe pose graph (models.posegraph) with proximity loop-closure
-  detection, GICP verification, Gauss-Newton optimization, and map
-  deformation applied back into the live odometry state.
+- a keyframe pose graph (models.posegraph) with two-stage loop-closure
+  detection (pose proximity over the resident store + rotation-invariant
+  descriptor place recognition over every keyframe ever created,
+  models.placedesc), GICP verification, Gauss-Newton optimization, and
+  map deformation applied back into the live odometry state,
+- a host-side keyframe archive (runtime.archive) whose unclamped signed
+  map volume makes post-closure dense-map correction O(moved keyframes)
+  over the full (unbounded) keyframe history.
 
 Loop closure runs at keyframe rate (host-triggered, device-computed); all
 hot per-scan work stays in the async odometry step.
