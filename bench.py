@@ -138,7 +138,6 @@ def main():
     from noetic_slam_tpu.models import tsdf as tsdf_mod
 
     tcfg = cfg.tsdf
-    tvalid = None
 
     # Pre-stage scans on device: re-uploading ~400 KB per call through the
     # dev tunnel (~14 ms/MB) was billed to "TSDF rate" and explained the

@@ -203,7 +203,7 @@ def main():
             bad = (scan.range[:, valid] != exp[fid][:, valid]).sum()
             corrupt_pixels += int(bad)
             # full projection (the LiveDriver ingest cost)
-            xyz, rel_t, vmask, _ = ou.scan_to_points(
+            xyz, _rel_t, vmask, _ = ou.scan_to_points(
                 scan, direction, offset, scan_ts_ns=int(scan.timestamp[0]))
             proj_points += int(vmask.sum())
             scans += 1

@@ -133,8 +133,6 @@ def main():
 
     window = max(4 * K, (40 if tiny else 200) // K * K)
     windows = []
-    win_t0 = None
-    win_scans = 0
     blocks_log = []                       # archive volume blocks per closure
     last_closure_scan = -10**9
     resume_ok = None
