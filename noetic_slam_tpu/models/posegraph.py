@@ -151,6 +151,80 @@ def relative_pose(qi, pi, qj, pj):
     return dq, dp
 
 
+@partial(jax.jit, static_argnames=("m", "have_prev"))
+def _add_chain(g: PoseGraph, qs, ps, count, prev_q, prev_p,
+               m: int, have_prev: bool) -> PoseGraph:
+    """Jitted body of add_nodes_chain (m = padded batch, static)."""
+    K = g.node_q.shape[0]
+    E = g.edge_i.shape[0]
+    ks = jnp.arange(m)
+    valid = ks < count
+    start = g.n_nodes
+    nidx = jnp.where(valid, start + ks, K)          # OOB rows are dropped
+    node_q = g.node_q.at[nidx].set(qs, mode="drop")
+    node_p = g.node_p.at[nidx].set(ps, mode="drop")
+    # Chain edges: node (start+k-1) -> (start+k); the first edge links to
+    # the previous chain tail (prev_q/prev_p at node start-1) when it
+    # exists. relative_pose broadcasts over the batch.
+    src_q = jnp.concatenate([prev_q[None], qs[:-1]], axis=0)
+    src_p = jnp.concatenate([prev_p[None], ps[:-1]], axis=0)
+    dq, dp = relative_pose(src_q, src_p, qs, ps)
+    evalid = valid if have_prev else (valid & (ks > 0))
+    k0 = 0 if have_prev else 1
+    eidx = jnp.where(evalid, g.n_edges + ks - k0, E)
+    ones = jnp.ones((m,), jnp.float32)
+    return g._replace(
+        node_q=node_q, node_p=node_p,
+        n_nodes=start + count.astype(jnp.int32),
+        edge_i=g.edge_i.at[eidx].set((start + ks - 1).astype(jnp.int32),
+                                     mode="drop"),
+        edge_j=g.edge_j.at[eidx].set((start + ks).astype(jnp.int32),
+                                     mode="drop"),
+        edge_dq=g.edge_dq.at[eidx].set(dq, mode="drop"),
+        edge_dp=g.edge_dp.at[eidx].set(dp, mode="drop"),
+        edge_w_rot=g.edge_w_rot.at[eidx].set(ones, mode="drop"),
+        edge_w_trans=g.edge_w_trans.at[eidx].set(ones, mode="drop"),
+        edge_valid=g.edge_valid.at[eidx].set(valid, mode="drop"),
+        n_edges=g.n_edges + jnp.sum(evalid).astype(jnp.int32))
+
+
+def add_nodes_chain(g: PoseGraph, qs, ps, count: int,
+                    prev_q=None, prev_p=None) -> PoseGraph:
+    """Append ``count`` nodes and their odometry-chain edges in ONE jitted
+    dispatch.
+
+    The equivalent per-node eager add_node/relative_pose/add_edge sequence
+    is ~30 tiny device ops per keyframe — measured 170 ms/keyframe through
+    the dev relay (each eager op is a separate dispatch), which capped the
+    fused SLAM rate at ~3 scans/s. This path makes keyframe-graph sync
+    O(1) dispatches per batch. Callers must ensure capacity beforehand
+    (SlamSystem.sync_graph grows ahead of saturation).
+
+    ``qs (count,4)``/``ps (count,3)`` are host arrays; they are padded to a
+    power-of-two bucket so at most log2(max-batch) variants compile.
+    ``prev_q/prev_p`` (pose of node ``n_nodes-1``) chain the first new node
+    to the existing tail; None on the very first keyframe ever."""
+    import numpy as np
+
+    count = int(count)
+    if count == 0:
+        return g
+    m = max(1, 1 << (count - 1).bit_length())
+    qs_p = np.zeros((m, 4), np.float32)
+    qs_p[:, 0] = 1.0
+    ps_p = np.zeros((m, 3), np.float32)
+    qs_p[:count] = np.asarray(qs, np.float32)[:count]
+    ps_p[:count] = np.asarray(ps, np.float32)[:count]
+    have_prev = prev_q is not None
+    pq = (np.asarray(prev_q, np.float32) if have_prev
+          else np.array([1.0, 0, 0, 0], np.float32))
+    pp = (np.asarray(prev_p, np.float32) if have_prev
+          else np.zeros(3, np.float32))
+    return _add_chain(g, jnp.asarray(qs_p), jnp.asarray(ps_p),
+                      jnp.int32(count), jnp.asarray(pq), jnp.asarray(pp),
+                      m, have_prev)
+
+
 def _edge_terms(g: PoseGraph):
     """Per-edge residuals + Jacobian blocks (first order).
 
@@ -389,6 +463,8 @@ def detect_loop_candidate(kf_pos: Array, kf_count: Array, cur_idx: Array,
     return best, d[best] < radius
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_corr_dist", "max_error",
+                                   "min_trans_eig"))
 def verify_loop(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov,
                 cfg: GicpConfig, max_corr_dist: float = 1.5,
                 max_error: float = 1.5, min_trans_eig: float = 5.0,
@@ -458,10 +534,13 @@ def verify_loop(src_xyz, src_valid, src_cov, tgt_xyz, tgt_cov,
     return res.T, ok
 
 
+@jax.jit
 def apply_pose_update(kf_quat, kf_pos, kf_xyz, kf_valid, kf_cov,
                       new_q, new_p, kf_count):
     """Map deformation: rigidly move each keyframe cloud from its old pose
-    to its optimized pose (T_new T_old^-1 per keyframe)."""
+    to its optimized pose (T_new T_old^-1 per keyframe). Jitted: called
+    eagerly at closure rate, and an eager whole-store einsum through the
+    relay costs hundreds of per-op dispatches."""
     K = kf_quat.shape[0]
     ok = jnp.arange(K) < kf_count
     dq = quat_normalize(quat_mul(new_q, quat_conj(kf_quat)))

@@ -103,6 +103,9 @@ class SlamSystem:
         self._slot_node: dict = {}
         self._synced_total = 0
         self._last_kf_pose = None        # (q, p) of the newest synced kf
+        self._kf_host = None     # host stash of keyframe metadata (sync_graph)
+        self._edges_host = 0     # host mirror of graph.n_edges (re-seeded
+                                 # from the device every sync_graph fetch)
         self.loop_closures = 0
 
     # ------------------------------------------------------------ per scan
@@ -138,14 +141,27 @@ class SlamSystem:
 
         The store may evict: a slot overwritten twice between syncs loses
         its intermediate keyframe (never becomes a node); consecutive
-        synced keyframes are chained with a relative-pose edge regardless."""
+        synced keyframes are chained with a relative-pose edge regardless.
+
+        Transport discipline: the whole sync costs ONE device fetch in the
+        common no-new-keyframe case and TWO when keyframes were created
+        (metadata tuple + gathered clouds). Sequential small fetches each
+        pay a full relay round trip — the per-batch sync at 5 round trips
+        was measured at 1.5 s/call on the chip, dropping the fused SLAM
+        rate from 132 scans/s (device ceiling) to 17. The fetched keyframe
+        metadata is stashed host-side (_kf_host) for the closure path."""
         st = self.odometry.state
         if st is None:
             return 0
-        total = int(jax.device_get(st.kf_total))
+        (total, seq, kf_q, kf_p, kf_count, node, n_edges) = [
+            (int(x) if x.ndim == 0 else x) for x in jax.device_get(
+                (st.kf_total, st.kf_seq, st.kf_quat, st.kf_pos,
+                 st.kf_count, self.graph.n_nodes, self.graph.n_edges))]
+        self._kf_host = {"total": total, "seq": seq, "q": kf_q, "p": kf_p,
+                         "count": kf_count}
+        self._edges_host = n_edges
         if total <= self._synced_total:
             return 0
-        seq, kf_q, kf_p = jax.device_get((st.kf_seq, st.kf_quat, st.kf_pos))
         new_slots = [int(s) for s in np.argsort(seq)
                      if seq[s] > self._synced_total]
 
@@ -154,8 +170,6 @@ class SlamSystem:
         # odometry chain broken past max_graph_nodes (the round-2 long-run
         # corruption hazard). Grow by doubling so node ids stay valid for
         # the whole (unbounded) run.
-        node = int(jax.device_get(self.graph.n_nodes))
-        n_edges = int(jax.device_get(self.graph.n_edges))
         cap_n = self.graph.node_q.shape[0]
         cap_e = self.graph.edge_i.shape[0]
         need_n, need_e = node + len(new_slots), n_edges + len(new_slots) + 4
@@ -176,16 +190,18 @@ class SlamSystem:
             xyz_new, valid_new = jax.device_get(
                 (st.kf_xyz[jnp.asarray(sel)], st.kf_valid[jnp.asarray(sel)]))
 
+        # ONE jitted dispatch appends every new node + chain edge (the
+        # eager per-keyframe add_node/add_edge path cost ~170 ms/keyframe
+        # through the relay — pg.add_nodes_chain docstring).
+        have_prev = self._last_kf_pose is not None
+        self.graph = pg.add_nodes_chain(
+            self.graph, kf_q[new_slots], kf_p[new_slots], len(new_slots),
+            prev_q=self._last_kf_pose[0] if have_prev else None,
+            prev_p=self._last_kf_pose[1] if have_prev else None)
+        self._edges_host += len(new_slots) - (0 if have_prev else 1)
+
         new = 0
         for k, s in enumerate(new_slots):
-            q_s, p_s = jnp.asarray(kf_q[s]), jnp.asarray(kf_p[s])
-            self.graph = pg.add_node(self.graph, q_s, p_s)
-            if self._last_kf_pose is not None:
-                lq, lp = self._last_kf_pose
-                dq, dp = pg.relative_pose(jnp.asarray(lq), jnp.asarray(lp),
-                                          q_s, p_s)
-                self.graph = pg.add_edge(self.graph, jnp.int32(node - 1),
-                                         jnp.int32(node), dq, dp)
             old_node = self._slot_node.get(s)
             if old_node is not None:
                 self._node_slot.pop(old_node, None)    # slot evicted
@@ -226,24 +242,31 @@ class SlamSystem:
         st = self.odometry.state
         if self._synced_total < self.loop_min_gap + 2:
             return False
-        seq = jax.device_get(st.kf_seq)
+        # All keyframe metadata comes from sync_graph's host stash — the
+        # detection path costs ZERO additional device round trips (the
+        # proximity rule below is pg.detect_loop_candidate's exact
+        # definition on the stashed arrays; that jitted form remains for
+        # device-side callers).
+        kh = self._kf_host
+        seq, kf_p_h = kh["seq"], kh["p"]
         cur = int(np.argmax(seq))
         if cur not in self._slot_node:
             return False            # not synced into the graph (yet)
         cur_node = self._slot_node[cur]
 
         # --- 1) proximity candidate (resident store) ---
-        cand, ok = pg.detect_loop_candidate(
-            st.kf_pos, st.kf_count, jnp.int32(cur),
-            self.loop_radius, self.loop_min_gap, kf_seq=st.kf_seq)
-        if bool(ok):
-            cand = int(cand)
+        slots = np.arange(seq.shape[0])
+        d = np.linalg.norm(kf_p_h - kf_p_h[cur][None, :], axis=-1)
+        eligible = ((slots < kh["count"]) & (seq > 0)
+                    & (seq <= seq[cur] - self.loop_min_gap))
+        d = np.where(eligible, d, np.inf)
+        cand = int(np.argmin(d))
+        if d[cand] < self.loop_radius:
             if cand in self._slot_node:
-                kq_c, kp_c = jax.device_get((st.kf_quat[cand],
-                                             st.kf_pos[cand]))
                 if self._attempt_closure(
                         cur, cur_node, self._slot_node[cand],
-                        st.kf_xyz[cand], st.kf_cov[cand], kq_c, kp_c):
+                        st.kf_xyz[cand], st.kf_cov[cand],
+                        kh["q"][cand], kf_p_h[cand]):
                     return True
 
         # --- 2) descriptor candidates (full history) ---
@@ -292,22 +315,22 @@ class SlamSystem:
                                     cand_p) -> bool:
         """Seed GICP with the descriptor's yaw shift and run the common
         verification/gating: R_true = R_cand Rz(psi), psi = 2 pi shift/S
-        (models/placedesc geometry)."""
+        (models/placedesc geometry). All-host math (make_se3_np): the
+        guess construction runs at closure-candidate rate but each device
+        fetch it used to make cost a full relay round trip."""
         from noetic_slam_tpu.models.placedesc import N_SECTORS
-        from noetic_slam_tpu.utils.geometry import make_se3
+        from noetic_slam_tpu.utils.geometry import make_se3_np
 
-        st = self.odometry.state
         psi = 2.0 * np.pi * shift / N_SECTORS
         if psi > np.pi:
             psi -= 2.0 * np.pi
-        kq_u, kp_u = jax.device_get((st.kf_quat[slot], st.kf_pos[slot]))
+        kh = self._kf_host
+        kq_u, kp_u = kh["q"][slot], kh["p"][slot]
         Rz = np.eye(4, dtype=np.float32)
         Rz[0, 0] = Rz[1, 1] = np.cos(psi)
         Rz[0, 1], Rz[1, 0] = -np.sin(psi), np.sin(psi)
-        T_cand = np.asarray(jax.device_get(make_se3(
-            jnp.asarray(cand_q), jnp.asarray(cand_p))))
-        T_est = np.asarray(jax.device_get(make_se3(
-            jnp.asarray(kq_u), jnp.asarray(kp_u))))
+        T_cand = make_se3_np(cand_q, cand_p)
+        T_est = make_se3_np(kq_u, kp_u)
         guess = (T_cand @ Rz @ np.linalg.inv(T_est)).astype(np.float32)
         applied = self._attempt_closure(
             slot, node, cand, cand_xyz, cand_cov, cand_q, cand_p,
@@ -323,9 +346,9 @@ class SlamSystem:
         st = self.odometry.state
         slot = self._node_slot.get(node)
         if slot is not None:
-            kq_c, kp_c = jax.device_get((st.kf_quat[slot],
-                                         st.kf_pos[slot]))
-            return st.kf_xyz[slot], st.kf_cov[slot], kq_c, kp_c
+            kh = self._kf_host
+            return (st.kf_xyz[slot], st.kf_cov[slot],
+                    kh["q"][slot], kh["p"][slot])
         if self.archive is None or node not in self.archive.entries:
             return None, None, None, None
         from noetic_slam_tpu.ops import gicp as gicp_ops
@@ -363,20 +386,21 @@ class SlamSystem:
             cand_xyz, cand_cov, vcfg,
             max_corr_dist=2.0 * self.cfg.gicp.max_corr_dist,
             guess=guess)
+        # ONE fetch for the verdict + correction; the rest of the edge
+        # construction is host numpy (make_se3_np/mat_to_quat_np).
+        accepted, Tc = jax.device_get((accepted, T_corr))
         if not bool(accepted):
             return False
 
         # Corrected world pose of the current keyframe: T_corr moves its
         # cloud onto the candidate's map; the loop edge measures candidate ->
         # corrected-current.
-        Tc = jax.device_get(T_corr)
-        kq_u, kp_u = jax.device_get((st.kf_quat[cur], st.kf_pos[cur]))
-        from noetic_slam_tpu.utils.geometry import make_se3, se3_q_p
+        from noetic_slam_tpu.utils.geometry import make_se3_np, mat_to_quat_np
 
-        T_cur = np.asarray(jax.device_get(make_se3(
-            jnp.asarray(kq_u), jnp.asarray(kp_u))))
-        T_fix = Tc @ T_cur
-        q_fix, p_fix = jax.device_get(se3_q_p(jnp.asarray(T_fix)))
+        kh = self._kf_host
+        kq_u, kp_u = kh["q"][cur], kh["p"][cur]
+        T_fix = np.asarray(Tc) @ make_se3_np(kq_u, kp_u)
+        q_fix, p_fix = mat_to_quat_np(T_fix[:3, :3]), T_fix[:3, 3]
 
         # Drift-budget gate (see __init__): correction magnitude vs the
         # path length accumulated between candidate and current keyframe
@@ -396,13 +420,13 @@ class SlamSystem:
         dq, dp = pg.relative_pose(
             jnp.asarray(cand_q), jnp.asarray(cand_p),
             jnp.asarray(q_fix), jnp.asarray(p_fix))
-        if int(jax.device_get(self.graph.n_edges)) + 1 > \
-                self.graph.edge_i.shape[0]:
+        if self._edges_host + 1 > self.graph.edge_i.shape[0]:
             self.graph = pg.grow(self.graph,
                                  max_edges=2 * self.graph.edge_i.shape[0])
         self.graph = pg.add_edge(self.graph, jnp.int32(cand_node),
                                  jnp.int32(cur_node), dq, dp,
                                  w_rot=2.0, w_trans=2.0)
+        self._edges_host += 1
 
         # Optimize and deform the map.
         import time as _time
@@ -432,9 +456,9 @@ class SlamSystem:
         old_q, old_p = st.kf_quat, st.kf_pos
 
         # Per-SLOT optimized poses: resident slots take their graph node's
-        # pose; unmapped slots keep their current pose.
-        node_q, node_p = jax.device_get((g.node_q, g.node_p))
-        new_q, new_p = jax.device_get((st.kf_quat, st.kf_pos))
+        # pose; unmapped slots keep their current pose. ONE fetch.
+        node_q, node_p, new_q, new_p = jax.device_get(
+            (g.node_q, g.node_p, st.kf_quat, st.kf_pos))
         new_q, new_p = np.array(new_q), np.array(new_p)
         for slot, node in self._slot_node.items():
             new_q[slot] = node_q[node]

@@ -101,6 +101,41 @@ def quat_to_mat_np(q) -> "np.ndarray":
     ], np.float32)
 
 
+def make_se3_np(q, p) -> "np.ndarray":
+    """Host-side numpy (q, p) -> homogeneous 4x4 (see quat_to_mat_np for
+    why host-rate callers must avoid per-call device round trips)."""
+    import numpy as np
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = quat_to_mat_np(q)
+    T[:3, 3] = np.asarray(p, np.float32)
+    return T
+
+
+def mat_to_quat_np(m) -> "np.ndarray":
+    """Host-side numpy rotation matrix -> quaternion wxyz (same candidate
+    selection as mat_to_quat; w >= 0 canonical)."""
+    import numpy as np
+
+    m = np.asarray(m, np.float64)
+    m00, m01, m02 = m[0, 0], m[0, 1], m[0, 2]
+    m10, m11, m12 = m[1, 0], m[1, 1], m[1, 2]
+    m20, m21, m22 = m[2, 0], m[2, 1], m[2, 2]
+    tr = m00 + m11 + m22
+    cand = np.array([
+        [1.0 + tr, m21 - m12, m02 - m20, m10 - m01],
+        [m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10, m02 + m20],
+        [m02 - m20, m01 + m10, 1.0 - m00 + m11 - m22, m12 + m21],
+        [m10 - m01, m02 + m20, m12 + m21, 1.0 - m00 - m11 + m22]])
+    scores = np.array([1.0 + tr, 1.0 + m00 - m11 - m22,
+                       1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22])
+    q = cand[int(np.argmax(scores))]
+    q = q / np.linalg.norm(q)
+    if q[0] < 0:
+        q = -q
+    return q.astype(np.float32)
+
+
 def mat_to_quat(m: Array) -> Array:
     """Rotation matrix (..., 3, 3) -> quaternion (..., 4) wxyz.
 
