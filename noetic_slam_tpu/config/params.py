@@ -165,6 +165,13 @@ class CapacityConfig:
     # submap point capacity = max_submap_kf * max_kf_points
     max_trajectory: int = 16384        # device trajectory ring (flush before
                                        # this many processed scans)
+    outbox_slots: int = 32             # keyframe outbox ring (device->host
+                                       # hand-off: every keyframe ever
+                                       # created is written here regardless
+                                       # of store eviction; the host must
+                                       # sync at least once per this many
+                                       # new keyframes for lossless
+                                       # graph/archive accumulation)
 
 
 @dataclass(frozen=True)

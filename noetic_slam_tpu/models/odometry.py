@@ -89,6 +89,21 @@ class OdomState(NamedTuple):
                         # (0 = never written; slot order stops being age
                         # order once eviction starts)
     kf_total: Array     # () int32 — keyframes ever created (monotone)
+    # Keyframe OUTBOX: a device-side FIFO ring every push_keyframe also
+    # writes, independent of store eviction. The host drains it at sync
+    # time (runtime.slam.SlamSystem.sync_graph), so a resident slot being
+    # overwritten twice between syncs no longer loses the intermediate
+    # keyframe from the pose graph / archive / descriptor store (the
+    # reference accumulates keyframes unboundedly, odom.cc:1517-1598;
+    # SOAK_r03_km measured 385/2554 keyframes lost without this ring).
+    # Lossless as long as the host syncs at least once per
+    # capacity.outbox_slots new keyframes.
+    ob_q: Array         # (Q, 4) creation pose per outboxed keyframe
+    ob_p: Array         # (Q, 3)
+    ob_seq: Array       # (Q,) int32 — insertion sequence (kf_total at push)
+    ob_slot: Array      # (Q,) int32 — resident store slot it was written to
+    ob_xyz: Array       # (Q, Nk, 3) world-frame cloud at creation
+    ob_valid: Array     # (Q, Nk) bool
     # Submap target buffers (concat of selected keyframes).
     submap_xyz: Array   # (S, 3)
     submap_valid: Array # (S,)
@@ -235,6 +250,12 @@ def init_state(cfg: DlioConfig, q0=None, ba0=None, bg0=None) -> OdomState:
         kf_valid=jnp.zeros((K, Nk), bool),
         kf_cov=jnp.zeros((K, Nk, 6), f32), kf_count=jnp.int32(0),
         kf_seq=jnp.zeros((K,), jnp.int32), kf_total=jnp.int32(0),
+        ob_q=jnp.zeros((cap.outbox_slots, 4), f32),
+        ob_p=jnp.zeros((cap.outbox_slots, 3), f32),
+        ob_seq=jnp.zeros((cap.outbox_slots,), jnp.int32),
+        ob_slot=jnp.zeros((cap.outbox_slots,), jnp.int32),
+        ob_xyz=jnp.full((cap.outbox_slots, Nk, 3), SENTINEL, f32),
+        ob_valid=jnp.zeros((cap.outbox_slots, Nk), bool),
         submap_xyz=jnp.full((S, 3), SENTINEL, f32),
         submap_valid=jnp.zeros((S,), bool),
         submap_cov=jnp.zeros((S, 6), f32),
@@ -406,14 +427,31 @@ def push_keyframe(state: OdomState, cloud_xyz: Array, cloud_valid: Array,
     (select_eviction_victim) — the reference grows unboundedly
     (odom.cc:1517-1598), a fixed-capacity store must keep covering the
     trajectory. kf_seq/kf_total let the host reconstruct insertion order
-    for pose-graph bookkeeping (runtime.slam.SlamSystem.sync_graph)."""
+    for pose-graph bookkeeping (runtime.slam.SlamSystem.sync_graph).
+
+    Every push ALSO writes the outbox ring (slot kf_total % Q): the
+    lossless device->host hand-off path — eviction can overwrite the
+    resident slot, but the outbox entry survives until Q newer keyframes
+    have been created."""
     K = state.kf_pos.shape[0]
+    Q = state.ob_seq.shape[0]
     full = state.kf_count >= K
     i = jnp.where(full, select_eviction_victim(state),
                   jnp.minimum(state.kf_count, K - 1))
+    o = jnp.mod(state.kf_total, Q)
     ok = enabled
     sel = lambda new, old: jnp.where(ok, new, old)
     return state._replace(
+        ob_q=state.ob_q.at[o].set(sel(state.lidar_q, state.ob_q[o])),
+        ob_p=state.ob_p.at[o].set(sel(state.lidar_p, state.ob_p[o])),
+        ob_seq=state.ob_seq.at[o].set(
+            jnp.where(ok, state.kf_total + 1, state.ob_seq[o])),
+        ob_slot=state.ob_slot.at[o].set(
+            jnp.where(ok, i.astype(jnp.int32), state.ob_slot[o])),
+        ob_xyz=state.ob_xyz.at[o].set(
+            jnp.where(ok, cloud_xyz, state.ob_xyz[o])),
+        ob_valid=state.ob_valid.at[o].set(
+            jnp.where(ok, cloud_valid, state.ob_valid[o])),
         kf_pos=state.kf_pos.at[i].set(sel(state.lidar_p, state.kf_pos[i])),
         kf_quat=state.kf_quat.at[i].set(sel(state.lidar_q, state.kf_quat[i])),
         kf_xyz=state.kf_xyz.at[i].set(

@@ -73,9 +73,8 @@ def _normalize_columns(d: Array) -> Array:
     return jnp.where(n > 1e-6, d / jnp.maximum(n, 1e-6), 0.0)
 
 
-@jax.jit
-def match_store(query: Array, store: Array, count: Array,
-                exclude_from: Array):
+def _match_store_impl(query: Array, store: Array, count: Array,
+                      exclude_from: Array):
     """Best-matching stored descriptor for ``query`` under all yaw shifts.
 
     query: (R, S); store: (K, R, S) (rows < count valid); nodes with id >=
@@ -102,6 +101,21 @@ def match_store(query: Array, store: Array, count: Array,
     return node, best_k[node], best_shift[node]
 
 
+match_store = jax.jit(_match_store_impl)
+
+
+@jax.jit
+def match_store_batch(queries: Array, store: Array, count: Array,
+                      exclude_froms: Array):
+    """Batched ``match_store``: score B queries against the store in ONE
+    dispatch (vmap over the per-query rolled-einsum — batches cleanly on
+    the MXU). Per-query device calls cost a relay round trip each; at
+    keyframe rate over a km run that dominated the descriptor path."""
+    return jax.vmap(
+        lambda q, e: _match_store_impl(q, store, count, e))(
+            queries, exclude_froms)
+
+
 class DescriptorStore:
     """Host+device store of per-keyframe descriptors with doubling
     capacity; matching runs on device against the full history."""
@@ -109,9 +123,13 @@ class DescriptorStore:
     def __init__(self, cap: int = 256):
         self._host = np.zeros((cap, N_RINGS, N_SECTORS), np.float32)
         self._dev = jnp.asarray(self._host)
+        self._pending: list = []      # host rows written since last upload
         self.count = 0
 
     def add(self, node: int, desc: np.ndarray) -> None:
+        """Record one descriptor (host write; the device copy uploads
+        lazily — one stacked row upload per query batch instead of one
+        dispatch per keyframe)."""
         cap = self._host.shape[0]
         if node >= cap:
             while cap <= node:
@@ -119,11 +137,24 @@ class DescriptorStore:
             grown = np.zeros((cap, N_RINGS, N_SECTORS), np.float32)
             grown[: self._host.shape[0]] = self._host
             self._host = grown
-            self._dev = jnp.asarray(self._host)
+            self._dev = None          # capacity changed: full re-upload
         self._host[node] = desc
-        # incremental device update: one small row upload
-        self._dev = self._dev.at[node].set(jnp.asarray(desc))
+        self._pending.append(node)
         self.count = max(self.count, node + 1)
+
+    def add_batch(self, nodes, descs) -> None:
+        for node, d in zip(nodes, descs):
+            self.add(int(node), d)
+
+    def _sync_dev(self) -> None:
+        if self._dev is None:
+            self._dev = jnp.asarray(self._host)
+            self._pending = []
+        elif self._pending:
+            idx = np.asarray(sorted(set(self._pending)), np.int32)
+            self._dev = self._dev.at[jnp.asarray(idx)].set(
+                jnp.asarray(self._host[idx]))
+            self._pending = []
 
     def query(self, desc: np.ndarray, min_gap: int = 0,
               exclude_from: int | None = None):
@@ -135,10 +166,30 @@ class DescriptorStore:
             exclude_from = self.count - min_gap
         if exclude_from <= 0 or self.count == 0:
             return -1, 0.0, 0
+        self._sync_dev()
         node, score, shift = match_store(
             jnp.asarray(desc), self._dev, jnp.int32(self.count),
             jnp.int32(exclude_from))
         return int(node), float(score), int(shift)
+
+    def query_batch(self, node_ids, exclude_froms):
+        """Match the stored descriptors of ``node_ids`` against the full
+        history in ONE dispatch + ONE fetch. Returns host arrays
+        (cands, scores, shifts), one row per query; queries whose
+        exclude_from <= 0 return cand -1."""
+        if not len(node_ids) or self.count == 0:
+            return (np.full(len(node_ids), -1, np.int64),
+                    np.zeros(len(node_ids), np.float32),
+                    np.zeros(len(node_ids), np.int64))
+        self._sync_dev()
+        ids = np.asarray(node_ids, np.int64)
+        exc = np.asarray(exclude_froms, np.int64)
+        cands, scores, shifts = jax.device_get(match_store_batch(
+            jnp.asarray(self._host[ids]), self._dev,
+            jnp.int32(self.count), jnp.asarray(np.maximum(exc, 0),
+                                               np.int32)))
+        cands = np.where(exc > 0, np.asarray(cands), -1)
+        return cands, np.asarray(scores), np.asarray(shifts)
 
     # ------------------------------------------------------- persistence
     def pack(self) -> dict:
@@ -153,4 +204,5 @@ class DescriptorStore:
         self._host = np.zeros((cap, N_RINGS, N_SECTORS), np.float32)
         self._host[: len(d)] = d
         self._dev = jnp.asarray(self._host)
+        self._pending = []
         self.count = len(d)

@@ -173,9 +173,14 @@ def _add_chain(g: PoseGraph, qs, ps, count, prev_q, prev_p,
     k0 = 0 if have_prev else 1
     eidx = jnp.where(evalid, g.n_edges + ks - k0, E)
     ones = jnp.ones((m,), jnp.float32)
+    # Saturate the counters at capacity, matching add_node/add_edge:
+    # overflowing writes are dropped by mode="drop" above, so advancing
+    # the counts past K/E would leave them pointing at identity rows
+    # (SlamSystem.sync_graph grows ahead of saturation, but an unguarded
+    # caller must not be able to corrupt the counts).
     return g._replace(
         node_q=node_q, node_p=node_p,
-        n_nodes=start + count.astype(jnp.int32),
+        n_nodes=jnp.minimum(start + count.astype(jnp.int32), K),
         edge_i=g.edge_i.at[eidx].set((start + ks - 1).astype(jnp.int32),
                                      mode="drop"),
         edge_j=g.edge_j.at[eidx].set((start + ks).astype(jnp.int32),
@@ -185,7 +190,8 @@ def _add_chain(g: PoseGraph, qs, ps, count, prev_q, prev_p,
         edge_w_rot=g.edge_w_rot.at[eidx].set(ones, mode="drop"),
         edge_w_trans=g.edge_w_trans.at[eidx].set(ones, mode="drop"),
         edge_valid=g.edge_valid.at[eidx].set(valid, mode="drop"),
-        n_edges=g.n_edges + jnp.sum(evalid).astype(jnp.int32))
+        n_edges=jnp.minimum(g.n_edges + jnp.sum(evalid).astype(jnp.int32),
+                            E))
 
 
 def add_nodes_chain(g: PoseGraph, qs, ps, count: int,
@@ -309,12 +315,21 @@ def _edge_jacobian_blocks(g: PoseGraph):
     return Jr, wvec, r
 
 
-def _gn_system_matfree(g: PoseGraph, K: int, damping: float):
+def _gn_system_matfree(g: PoseGraph, K: int, damping: float,
+                       psum_axis: str | None = None):
     """Matrix-free normal system for CG: returns (matvec, b, Minv) where
     matvec(x) = (H + diag) x computed EDGE-WISE — gather the two 6-blocks
     of x per edge, apply J W J^T locally, scatter-add back. O(E) work and
     memory instead of the dense (6K)^2; the per-node 6x6 block-Jacobi
-    preconditioner comes from the same edge pass."""
+    preconditioner comes from the same edge pass.
+
+    ``psum_axis``: when set (inside a shard_map whose edge arrays are the
+    local shard), every edge-sum — b, the matvec's scatter-add, and the
+    preconditioner blocks — is combined across devices with a psum of the
+    (K, 6)-shaped node accumulator; the node-diagonal terms are added once
+    AFTER the reduction (they are replicated). This is the distributed-BA
+    large-graph path (parallel/bundle_adjustment.sharded_optimize): O(E/D)
+    work per device, collectives of O(K) per CG iteration."""
     Jr, wvec, r = _edge_jacobian_blocks(g)
     JW = Jr * wvec[:, :, None]                                 # (E, 6, 12)
     # per-edge 12x12 normal block + rhs
@@ -322,6 +337,9 @@ def _gn_system_matfree(g: PoseGraph, K: int, damping: float):
                       precision=jax.lax.Precision.HIGHEST)     # (E,12,12)
     bblk = jnp.einsum("eri,er->ei", JW, r,
                       precision=jax.lax.Precision.HIGHEST)     # (E,12)
+
+    psum = (lambda x: x) if psum_axis is None else (
+        lambda x: jax.lax.psum(x, psum_axis))
 
     slot = jnp.arange(K)
     active = slot < g.n_nodes
@@ -334,6 +352,7 @@ def _gn_system_matfree(g: PoseGraph, K: int, damping: float):
     b = jnp.zeros((K, 6))
     b = b.at[ei].add(bblk[:, :6])
     b = b.at[ej].add(bblk[:, 6:])
+    b = psum(b)
 
     def matvec(x):                                             # x: (K, 6)
         xe = jnp.concatenate([x[ei], x[ej]], axis=-1)          # (E, 12)
@@ -341,14 +360,14 @@ def _gn_system_matfree(g: PoseGraph, K: int, damping: float):
         y = jnp.zeros((K, 6))
         y = y.at[ei].add(ye[:, :6])
         y = y.at[ej].add(ye[:, 6:])
-        return y + diag_all[:, None] * x
+        return psum(y) + diag_all[:, None] * x
 
     # block-Jacobi preconditioner: per-node 6x6 diagonal blocks
     Pblk = jnp.zeros((K, 6, 6))
     Pblk = Pblk.at[ei].add(Hblk[:, :6, :6])
     Pblk = Pblk.at[ej].add(Hblk[:, 6:, 6:])
-    Pblk = Pblk + (diag_all[:, None, None]
-                   * jnp.eye(6)[None, :, :])
+    Pblk = psum(Pblk) + (diag_all[:, None, None]
+                         * jnp.eye(6)[None, :, :])
     Pinv = jnp.linalg.inv(Pblk)                                # (K, 6, 6)
 
     def apply_prec(x):
@@ -461,6 +480,25 @@ def detect_loop_candidate(kf_pos: Array, kf_count: Array, cur_idx: Array,
     d = jnp.where(eligible, d, jnp.inf)
     best = jnp.argmin(d)
     return best, d[best] < radius
+
+
+def detect_loop_candidate_np(kf_pos, kf_seq, kf_count, cur_idx: int,
+                             radius: float, min_gap: int):
+    """Host-numpy form of ``detect_loop_candidate`` (kf_seq branch) for
+    callers that already hold the keyframe metadata host-side
+    (SlamSystem.maybe_close_loop — a device dispatch per check would cost
+    a relay round trip). One definition, shared; parity with the jitted
+    form is pinned in tests/test_posegraph.py."""
+    import numpy as np
+
+    K = kf_pos.shape[0]
+    slots = np.arange(K)
+    d = np.linalg.norm(kf_pos - kf_pos[cur_idx][None, :], axis=-1)
+    eligible = ((slots < kf_count) & (kf_seq > 0)
+                & (kf_seq <= kf_seq[cur_idx] - min_gap))
+    d = np.where(eligible, d, np.inf)
+    best = int(np.argmin(d))
+    return best, bool(d[best] < radius)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_corr_dist", "max_error",

@@ -1,13 +1,28 @@
 """Distributed pose-graph / bundle-adjustment solve over a device mesh.
 
 The Schur-complement psum pattern from BASELINE.json: edges (factors) are
-sharded along the ``map`` axis; every device assembles the reduced normal-
-equation blocks H (6K x 6K), b (6K) for its edge shard only; one ``psum``
-combines the reduced systems; the (small, dense) solve and the node update
-are computed replicated on every device. This replaces the reference's
-(absent) sequential CPU pose-graph solver with ICI-resident collectives —
-no graph partitioning or host gather is needed because keyframe counts are
-small (<= hundreds) while edge evaluation dominates.
+sharded along the ``map`` axis; every device assembles reduced
+normal-equation quantities for its edge shard only; ``psum`` combines the
+reduced systems; the node update is computed replicated on every device.
+This replaces the reference's (absent) sequential CPU pose-graph solver
+with ICI-resident collectives — no graph partitioning or host gather is
+needed because node state is small while edge evaluation dominates.
+
+Two solver paths, mirroring models.posegraph.optimize:
+
+- ``dense``: psum the assembled H (6K x 6K) and LU-solve replicated —
+  exact, right up to a few hundred nodes, O(K^2) collective payload;
+- ``cg`` (the large-graph / city-scale path): matrix-free block-Jacobi
+  preconditioned conjugate gradient with EDGE-SHARDED matvec — each device
+  applies its local per-edge 12x12 normal blocks and a psum of the (K, 6)
+  node accumulator combines them (posegraph._gn_system_matfree with
+  psum_axis). O(E/D) work per device and O(K) collective payload per CG
+  iteration; nothing of size (6K)^2 is ever materialized. The km-scale
+  soak graph (>2,000 nodes) is solvable only on this path — dense would
+  psum a replicated 13k x 13k matrix per GN step.
+
+``auto`` switches to CG above 192 nodes (same threshold as the
+single-device solver).
 """
 
 from __future__ import annotations
@@ -16,21 +31,32 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from noetic_slam_tpu.models.posegraph import PoseGraph, _assemble
+from noetic_slam_tpu.models.posegraph import (
+    PoseGraph,
+    _assemble,
+    _gn_system_matfree,
+    _pcg,
+)
 from noetic_slam_tpu.utils.geometry import quat_mul, quat_normalize, so3_exp_quat
 
 Array = jax.Array
 
 
 def sharded_optimize(mesh, g: PoseGraph, iters: int = 10,
-                     damping: float = 1e-6, axis: str = "map") -> PoseGraph:
+                     damping: float = 1e-6, axis: str = "map",
+                     method: str = "auto",
+                     cg_iters: int = 100) -> PoseGraph:
     """Gauss-Newton identical to models.posegraph.optimize, with edge
     assembly sharded and psum-combined. Edge capacity must divide the mesh
-    axis size."""
+    axis size. Parity vs the single-device solver is pinned at >1,000
+    nodes in tests/test_parallel.py::test_sharded_cg_matches_single_
+    device_large."""
     K = g.node_q.shape[0]
     E = g.edge_i.shape[0]
     ndev = mesh.shape[axis]
     assert E % ndev == 0, "edge capacity must divide the mesh axis"
+    if method == "auto":
+        method = "cg" if K > 192 else "dense"
 
     node_specs = P()
     edge_specs = P(axis)
@@ -42,15 +68,20 @@ def sharded_optimize(mesh, g: PoseGraph, iters: int = 10,
 
     def spmd(g: PoseGraph) -> PoseGraph:
         def gn_step(_, g):
-            H_local, b_local = _assemble(g, K)
-            H = jax.lax.psum(H_local, axis)
-            b = jax.lax.psum(b_local, axis)
-            slot = jnp.arange(K * 6)
-            active = (slot // 6) < g.n_nodes
-            diag = jnp.where(active, damping, 1.0)
-            diag = diag.at[:6].set(1e6)
-            H = H + jnp.diag(diag)
-            dx = jnp.linalg.solve(H, -b).reshape(K, 6)
+            if method == "dense":
+                H_local, b_local = _assemble(g, K)
+                H = jax.lax.psum(H_local, axis)
+                b = jax.lax.psum(b_local, axis)
+                slot = jnp.arange(K * 6)
+                active = (slot // 6) < g.n_nodes
+                diag = jnp.where(active, damping, 1.0)
+                diag = diag.at[:6].set(1e6)
+                H = H + jnp.diag(diag)
+                dx = jnp.linalg.solve(H, -b).reshape(K, 6)
+            else:
+                matvec, b, apply_prec = _gn_system_matfree(
+                    g, K, damping, psum_axis=axis)
+                dx = _pcg(matvec, -b, apply_prec, cg_iters)
             dw, dv = dx[:, :3], dx[:, 3:]
             ok = (jnp.arange(K) < g.n_nodes)[:, None]
             q = quat_normalize(quat_mul(

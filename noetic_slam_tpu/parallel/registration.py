@@ -7,10 +7,17 @@ parallel-for over correspondences (nano_gicp.cc:219-299):
 - target (submap) points+covariances are sharded along the ``map`` axis;
 - every device searches the full (replicated) query set against its target
   shard and emits per-query *candidates* (distance, target point, target
-  covariance) — gathering the candidate payload locally avoids a second
-  cross-device gather at the winning index;
-- an ``all_gather`` + argmin over the axis picks the global nearest
-  neighbor (replicated result);
+  covariance);
+- the global nearest neighbor is picked by an O(1)-in-device-count
+  (min, argmin, payload) REDUCTION: ``pmin`` of the candidate distance,
+  ``pmin`` of the winning device id, then a ``psum`` of the winner-masked
+  payload (point + covariance) — exactly one device contributes per query,
+  so every collective is an all-reduce whose per-device traffic is flat in
+  device count. (The previous design all-gathered the full candidate
+  payload: every device received O(ndev) bytes per query —
+  SCALING_r03 measured per-align recv growing 1.3/3.9/9.2 MB at
+  D = 2/4/8 — which caps scaling efficiency long before the BASELINE
+  >= 70 % multi-host target.)
 - each device then linearizes only its 1/ndev slice of the queries and the
   6x6/6x1 normal equations are combined with ``psum`` — the same
   Schur-style reduced-block psum pattern used by distributed BA
@@ -68,13 +75,19 @@ def sharded_gicp_align(mesh, src_xyz: Array, src_valid: Array,
             return sqd, tgt_xyz[idx], tgt_cov6[idx]
 
         def global_winner(T):
+            """(min-dist, payload) tree reduction over the mesh axis:
+            pmin picks the distance, a second pmin the lowest winning
+            device id (same tie-break as argmin over stacked candidates),
+            and a winner-masked psum moves the single winning payload to
+            every device. Per-device traffic is O(nq), flat in ndev."""
             d, pt, cv = candidates(T)
-            all_d = jax.lax.all_gather(d, axis)        # (ndev, Nq)
-            all_pt = jax.lax.all_gather(pt, axis)      # (ndev, Nq, 3)
-            all_cv = jax.lax.all_gather(cv, axis)      # (ndev, Nq, 6)
-            win = jnp.argmin(all_d, axis=0)            # (Nq,)
-            qi = jnp.arange(nq)
-            return (all_d[win, qi], all_pt[win, qi], all_cv[win, qi])
+            d_min = jax.lax.pmin(d, axis)              # (Nq,)
+            win = jnp.where(d <= d_min, my, ndev)      # my d == d_min bitwise
+            win_dev = jax.lax.pmin(win, axis)          # (Nq,)
+            mask = (win_dev == my)[:, None]
+            pt_g = jax.lax.psum(jnp.where(mask, pt, 0.0), axis)
+            cv_g = jax.lax.psum(jnp.where(mask, cv, 0.0), axis)
+            return d_min, pt_g, cv_g
 
         def linearize(T):
             d_full, pt_full, cv_full = global_winner(T)
@@ -197,29 +210,33 @@ def collective_traffic_per_align(cfg: GicpConfig, nq: int, ndev: int,
                                  outer_iters: int | None = None) -> dict:
     """Analytical per-device collective traffic of one sharded_gicp_align.
 
-    Per relinearize (outer iteration) each device:
-    - all_gathers the candidate payload (d 4 B, point 12 B, cov 24 B per
-      query): receives (ndev-1) * nq * 40 bytes over the mesh axis and
-      materializes ndev * nq * 40 bytes;
-    - psums the reduced normal equations: H(36) + b(6) + err(1) + n(1)
-      floats — 176 bytes, noise next to the gather.
+    Per relinearize (outer iteration) each device all-REDUCES:
+    - the candidate distance (pmin, nq * 4 B) and winning device id
+      (pmin, nq * 4 B);
+    - the winner-masked NN payload (psum: point 12 B + cov 24 B per query);
+    - the reduced normal equations (psum: H 36 + b 6 + err 1 + n 1 floats,
+      176 B — noise).
 
-    The gather term is the cost of the replicated-query design (docstring
-    at module top); it rides ICI and scales linearly in nq and ndev. The
-    formula is pinned against the compiled HLO's actual all-gather shapes
-    in tests/test_parallel.py::test_collective_traffic_matches_hlo, and
-    scripts/bench_scaling.py reports it alongside scans/s so the scaling
-    efficiency target (BASELINE >= 70%) carries its communication budget.
+    A ring all-reduce of M bytes moves 2 * (ndev-1)/ndev * M < 2*M bytes
+    through each device, so per-align traffic is FLAT in device count —
+    the round-4 redesign (the r3 all-gather design received O(ndev) per
+    query: 1.3/3.9/9.2 MB at D = 2/4/8, SCALING_r03). Pinned against the
+    compiled HLO in tests/test_parallel.py::test_collective_traffic_
+    matches_hlo (no all-gather instructions; all-reduce element totals
+    independent of ndev), and reported by scripts/bench_scaling.py next to
+    scans/s so the >= 70 % multi-host scaling target carries its
+    communication budget.
     """
     it = cfg.max_iterations if outer_iters is None else outer_iters
-    per_query_bytes = 4 + 12 + 24
-    gather_recv = (ndev - 1) * nq * per_query_bytes
-    psum_bytes = (36 + 6 + 1 + 1) * 4
+    per_query_reduce_bytes = 4 + 4 + 12 + 24          # d, win id, pt, cov
+    ring = 2.0 * (ndev - 1) / max(ndev, 1)
+    reduce_recv = int(ring * nq * per_query_reduce_bytes)
+    psum_bytes = int(ring * (36 + 6 + 1 + 1) * 4)
     return {
-        "per_relinearize_gather_recv_bytes": gather_recv,
-        "per_relinearize_gather_materialized_bytes":
-            ndev * nq * per_query_bytes,
+        "per_relinearize_reduce_elements": nq * (1 + 1 + 3 + 6) + 44,
+        "per_relinearize_reduce_recv_bytes": reduce_recv,
         "per_relinearize_psum_bytes": psum_bytes,
         "max_outer_iters": it,
-        "per_align_recv_bytes_max": it * (gather_recv + psum_bytes),
+        "per_align_recv_bytes_max": it * (reduce_recv + psum_bytes),
+        "flat_in_devices": True,
     }

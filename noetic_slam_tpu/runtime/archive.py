@@ -19,12 +19,22 @@ current-best pose.
 
 Because the unclamped payload is a pure linear sum (models/tsdf.NO_CLAMP,
 occupancy l_min/l_max at +-1e30) and sample generation is deterministic,
-``integrate_signed`` with sign=-1 exactly removes a prior sign=+1
-contribution. A pose-graph correction therefore costs
-O(keyframes whose pose moved) — subtract at the old pose, re-add at the
-optimized pose — instead of a full O(all keyframes ever) rebuild, and
-voxels in regions no moved keyframe touches are left BIT-IDENTICAL
-(untouched payload rows are never read or written).
+fusing with sign=-1 exactly removes a prior sign=+1 contribution. A
+pose-graph correction therefore costs O(keyframes whose pose moved) —
+subtract at the old pose, re-add at the optimized pose — instead of a full
+O(all keyframes ever) rebuild, and voxels in regions no moved keyframe
+touches are left BIT-IDENTICAL (untouched payload rows are never read or
+written).
+
+Transport discipline (the round-4 redesign): every fuse — adds at sync
+time, subtract/re-add pairs at closure time, checkpoint replay — goes
+through ONE jitted chunked-``lax.scan`` program (``_fuse_scan``) that
+processes ``_CHUNK_KF`` keyframes per scan step with a per-entry sign.
+The previous design dispatched one jitted program per keyframe (TWO per
+moved keyframe at closure), which cost a full relay round trip each:
+measured 15-34 s per closure at km scale (~1,400 moved keyframes,
+SOAK_r03_km.json). Batch counts are padded to power-of-two chunk counts so
+at most log2(max-batch) program variants ever compile.
 
 ``snapshot_live`` converts the archive volume into a fresh live-map state
 (clamp applied once at conversion — algebraically identical to the
@@ -36,7 +46,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict
+from typing import Dict, Iterator
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +58,8 @@ from noetic_slam_tpu.models import tsdf as tsdf_mod
 from noetic_slam_tpu.utils.geometry import quat_to_mat
 
 _QMAX = 32766.0
+_CHUNK_KF = 4     # keyframes fused per lax.scan step (sample stream per
+                  # step = _CHUNK_KF * N * samples_per_point)
 
 
 @dataclasses.dataclass
@@ -65,16 +77,64 @@ class ArchiveEntry:
 @partial(jax.jit, donate_argnums=(1,), static_argnames=("cfg", "backend"))
 def _fuse_entry(cfg, vol, xyz_q, scale, valid, q, p, sign,
                 backend: str = "tsdf"):
-    """Dequantize + transform to world + signed-integrate ONE archived
-    keyframe. One jitted program for both add and subtract: identical
-    (xyz_q, scale, valid, q, p) produce an identical sample stream, so
-    sign=-1 yields the bitwise negation of sign=+1 (exact de-fusion)."""
+    """Single-keyframe fuse (kept for tests/golden references; the live
+    system routes everything through ``_fuse_scan``)."""
     local = xyz_q.astype(jnp.float32) * scale
     R = quat_to_mat(q)
     world = local @ R.T + p
     if backend == "occupancy":
         return occ_mod.integrate_signed(cfg, vol, world, valid, p, sign)
     return tsdf_mod.integrate_signed(cfg, vol, world, valid, p, sign)
+
+
+@partial(jax.jit, donate_argnums=(1,), static_argnames=("cfg", "backend"))
+def _fuse_scan(cfg, vol, xyz_q, scale, valid, q, p, sign,
+               backend: str = "tsdf"):
+    """Fuse B keyframe contributions in ONE jitted dispatch.
+
+    ``xyz_q (B, N, 3) int16`` local-frame clouds, ``sign (B,)`` in
+    {+1, -1, 0} (0 = padding no-op: zero weights map every sample to the
+    drop key, so padded entries never touch the payload). B must be a
+    multiple of ``_CHUNK_KF``; a ``lax.scan`` walks chunk by chunk with the
+    volume as carry.
+
+    Exact-cancellation contract: the per-entry sample stream depends only
+    on (xyz_q, scale, valid, q, p) — computed per vmap lane, independent of
+    chunk position — so a later sign=-1 fuse of identical inputs scatters
+    the bitwise negation of the original sign=+1 stream. Per-voxel sums
+    cancel to re-association noise (~1 ulp of accumulated mass); rows no
+    entry touches are never read or written.
+    """
+    B = xyz_q.shape[0]
+    nch = B // _CHUNK_KF
+    resh = lambda a: a.reshape((nch, _CHUNK_KF) + a.shape[1:])
+
+    def body(vol, chunk):
+        xq, sc, vv, qq, pp, sg = chunk
+        local = xq.astype(jnp.float32) * sc[:, None, None]
+        R = quat_to_mat(qq)                                  # (CH, 3, 3)
+        world = jnp.einsum("cnj,cij->cni", local, R) + pp[:, None, :]
+        if backend == "occupancy":
+            pos, delta = jax.vmap(
+                lambda w, v, o: occ_mod._beam_samples(cfg, w, v, o))(
+                    world, vv, pp)
+            delta = delta * sg[:, None]
+            vol = occ_mod._integrate_deltas(
+                cfg, vol, pos.reshape(-1, 3), delta.reshape(-1))
+        else:
+            pos, sdf, w = jax.vmap(
+                lambda wd, v, o: tsdf_mod._ray_samples(cfg, wd, v, o))(
+                    world, vv, pp)
+            w = w * sg[:, None]
+            vol = tsdf_mod._integrate_samples(
+                cfg, vol, pos.reshape(-1, 3), sdf.reshape(-1),
+                w.reshape(-1))
+        return vol, None
+
+    vol, _ = jax.lax.scan(
+        body, vol, (resh(xyz_q), resh(scale), resh(valid), resh(q),
+                    resh(p), resh(sign)))
+    return vol
 
 
 @partial(jax.jit, static_argnames=("acfg", "lcfg"))
@@ -104,6 +164,41 @@ def _snapshot_occ(acfg: OccupancyConfig, lcfg: OccupancyConfig,
         dropped=vol.dropped + 0)
 
 
+class _EntriesView:
+    """Dict-like view of the archive's stacked host storage (keyed by graph
+    node id). Kept so callers/tests can address entries individually while
+    the storage itself stays stacked for batched device dispatch."""
+
+    def __init__(self, ar: "KeyframeArchive"):
+        self._ar = ar
+
+    def __len__(self) -> int:
+        return len(self._ar._idx)
+
+    def __contains__(self, node) -> bool:
+        return int(node) in self._ar._idx
+
+    def __iter__(self) -> Iterator[int]:
+        return iter(self._ar._idx)
+
+    def keys(self):
+        return self._ar._idx.keys()
+
+    def items(self):
+        for node in self._ar._idx:
+            yield node, self[node]
+
+    def __getitem__(self, node) -> ArchiveEntry:
+        i = self._ar._idx[int(node)]
+        return ArchiveEntry(
+            q=self._ar._q[i].copy(), p=self._ar._p[i].copy(),
+            xyz_q=self._ar._xyz[i], scale=float(self._ar._scale[i]),
+            valid=self._ar._valid[i])
+
+    def __setitem__(self, node, e: ArchiveEntry) -> None:
+        self._ar._set_entry(int(node), e)
+
+
 class KeyframeArchive:
     def __init__(self, map_cfg, backend: str = "tsdf"):
         self.backend = backend
@@ -115,65 +210,166 @@ class KeyframeArchive:
             self.cfg = dataclasses.replace(map_cfg,
                                            max_weight=tsdf_mod.NO_CLAMP)
             self.volume = tsdf_mod.init_tsdf(self.cfg)
-        self.entries: Dict[int, ArchiveEntry] = {}
+        # Stacked host storage (insertion-ordered; _idx maps node -> row).
+        self._idx: Dict[int, int] = {}
+        self._q = np.zeros((0, 4), np.float32)
+        self._p = np.zeros((0, 3), np.float32)
+        self._xyz = np.zeros((0, 0, 3), np.int16)
+        self._scale = np.zeros((0,), np.float32)
+        self._valid = np.zeros((0, 0), bool)
+        self._n = 0
 
     def __len__(self) -> int:
-        return len(self.entries)
+        return self._n
+
+    @property
+    def entries(self) -> _EntriesView:
+        return _EntriesView(self)
+
+    # ------------------------------------------------------------ storage
+    def _ensure(self, extra: int, n_pts: int) -> None:
+        cap = self._q.shape[0]
+        need = self._n + extra
+        if self._xyz.shape[1] == 0 and n_pts:
+            self._xyz = np.zeros((cap, n_pts, 3), np.int16)
+            self._valid = np.zeros((cap, n_pts), bool)
+        if need <= cap:
+            return
+        new_cap = max(64, cap)
+        while new_cap < need:
+            new_cap *= 2
+        grow = lambda a, fill=0: np.concatenate(
+            [a, np.full((new_cap - cap,) + a.shape[1:], fill, a.dtype)])
+        self._q, self._p = grow(self._q), grow(self._p)
+        self._xyz, self._scale = grow(self._xyz), grow(self._scale)
+        self._valid = grow(self._valid, False)
+
+    def _set_entry(self, node: int, e: ArchiveEntry) -> None:
+        i = self._idx.get(node)
+        if i is None:
+            self._ensure(1, e.xyz_q.shape[0])
+            i = self._n
+            self._idx[node] = i
+            self._n += 1
+        self._q[i] = np.asarray(e.q, np.float32)
+        self._p[i] = np.asarray(e.p, np.float32)
+        self._xyz[i] = np.asarray(e.xyz_q, np.int16)
+        self._scale[i] = float(e.scale)
+        self._valid[i] = np.asarray(e.valid, bool)
 
     # ------------------------------------------------------------- ingest
     def add(self, node: int, q, p, xyz_world, valid) -> None:
-        """Archive one keyframe (cloud given world-frame at pose (q, p))
-        and fuse it into the archive volume at that pose."""
+        """Archive one keyframe; prefer ``add_batch`` (one dispatch for the
+        whole sync batch)."""
+        self.add_batch([int(node)], np.asarray(q, np.float32)[None],
+                       np.asarray(p, np.float32)[None],
+                       np.asarray(xyz_world, np.float32)[None],
+                       np.asarray(valid, bool)[None])
+
+    def add_batch(self, nodes, qs, ps, xyz_world, valid) -> None:
+        """Archive B keyframes (clouds given world-frame at poses (q, p))
+        and fuse them into the archive volume in ONE jitted dispatch."""
         from noetic_slam_tpu.utils.geometry import quat_to_mat_np
 
-        q = np.asarray(q, np.float32)
-        p = np.asarray(p, np.float32)
+        B = len(nodes)
+        if B == 0:
+            return
+        qs = np.asarray(qs, np.float32)
+        ps = np.asarray(ps, np.float32)
         valid = np.asarray(valid, bool)
-        R = quat_to_mat_np(q)        # host: no per-keyframe device trip
-        local = (np.asarray(xyz_world, np.float32) - p) @ R
-        local = np.where(valid[:, None], local, 0.0).astype(np.float32)
-        amax = float(np.abs(local).max()) if local.size else 0.0
-        scale = max(amax / _QMAX, 1e-4)
-        xyz_q = np.clip(np.round(local / scale), -_QMAX, _QMAX
-                        ).astype(np.int16)
-        entry = ArchiveEntry(q=q, p=p, xyz_q=xyz_q, scale=scale, valid=valid)
-        self.entries[int(node)] = entry
-        self.volume = _fuse_entry(
-            self.cfg, self.volume, jnp.asarray(xyz_q),
-            jnp.float32(scale), jnp.asarray(valid), jnp.asarray(q),
-            jnp.asarray(p), jnp.float32(1.0), backend=self.backend)
+        xyz_world = np.asarray(xyz_world, np.float32)
+        self._ensure(B, xyz_world.shape[1])
+        rows = np.zeros((B,), np.int64)
+        for k, node in enumerate(nodes):
+            node = int(node)
+            i = self._idx.get(node)
+            if i is None:
+                i = self._n
+                self._idx[node] = i
+                self._n += 1
+            rows[k] = i
+            R = quat_to_mat_np(qs[k])     # host: no per-keyframe device trip
+            local = (xyz_world[k] - ps[k]) @ R
+            local = np.where(valid[k][:, None], local, 0.0).astype(np.float32)
+            amax = float(np.abs(local).max()) if local.size else 0.0
+            scale = max(amax / _QMAX, 1e-4)
+            self._xyz[i] = np.clip(np.round(local / scale), -_QMAX, _QMAX
+                                   ).astype(np.int16)
+            self._scale[i] = scale
+            self._q[i], self._p[i], self._valid[i] = qs[k], ps[k], valid[k]
+        self._dispatch_fuse(rows, self._q[rows], self._p[rows],
+                            np.ones((B,), np.float32))
 
     # ------------------------------------------------------- pose updates
     def apply_poses(self, node_q: np.ndarray, node_p: np.ndarray,
-                    eps_t: float = 1e-4, eps_r: float = 1e-4) -> int:
+                    eps_t: float | None = None,
+                    eps_r: float | None = None) -> int:
         """Move archived keyframes to their optimized graph poses:
-        for every entry whose pose moved more than (eps_t [m], eps_r [rad])
-        subtract its contribution at the old pose and re-add at the new
-        one. Returns the number of keyframes re-fused (the incremental
-        closure cost driver recorded by the soak harness)."""
-        moved = 0
-        for node, e in self.entries.items():
-            if node >= len(node_p):
-                continue
-            nq = np.asarray(node_q[node], np.float32)
-            np_ = np.asarray(node_p[node], np.float32)
-            dt = float(np.linalg.norm(np_ - e.p))
-            # angle via |<q1,q2>|: 1 - |dot| ~ theta^2/8 for small theta
-            dr = float(2.0 * np.arccos(np.clip(abs(np.dot(nq, e.q)), 0, 1)))
-            if dt <= eps_t and dr <= eps_r:
-                continue
-            xq = jnp.asarray(e.xyz_q)
-            vv = jnp.asarray(e.valid)
-            sc = jnp.float32(e.scale)
-            self.volume = _fuse_entry(
-                self.cfg, self.volume, xq, sc, vv, jnp.asarray(e.q),
-                jnp.asarray(e.p), jnp.float32(-1.0), backend=self.backend)
-            self.volume = _fuse_entry(
-                self.cfg, self.volume, xq, sc, vv, jnp.asarray(nq),
-                jnp.asarray(np_), jnp.float32(1.0), backend=self.backend)
-            e.q, e.p = nq, np_
-            moved += 1
-        return moved
+        subtract each moved entry's contribution at its old pose and re-add
+        at the new one — ONE jitted dispatch for the whole move set.
+        Returns the number of keyframes re-fused (the incremental closure
+        cost driver recorded by the soak harness).
+
+        Map-resolution thresholds (the defaults): a keyframe whose pose
+        error is below eps_t = voxel/4 in translation and eps_r =
+        voxel/(4*max_range) in rotation displaces every one of its fused
+        samples by at most eps_t + range*eps_r <= voxel/2 — under the
+        volume's own spatial quantization — so skipping its re-fusion
+        perturbs the reconstructed surface by less than half a voxel while
+        cutting the moved set sharply (tighter thresholds made "moved"
+        equal "all history" at km-scale drift corrections, SOAK_r03_km)."""
+        if eps_t is None:
+            eps_t = 0.25 * self.cfg.voxel_size
+        if eps_r is None:
+            eps_r = 0.25 * self.cfg.voxel_size / max(self.cfg.max_range, 1.0)
+        if self._n == 0:
+            return 0
+        nodes = np.fromiter(self._idx.keys(), np.int64, len(self._idx))
+        rows = np.fromiter(self._idx.values(), np.int64, len(self._idx))
+        keep = nodes < len(node_p)
+        nodes, rows = nodes[keep], rows[keep]
+        nq = np.asarray(node_q, np.float32)[nodes]
+        npos = np.asarray(node_p, np.float32)[nodes]
+        dt = np.linalg.norm(npos - self._p[rows], axis=-1)
+        # angle via |<q1,q2>|: 1 - |dot| ~ theta^2/8 for small theta
+        dots = np.abs(np.sum(nq * self._q[rows], axis=-1))
+        dr = 2.0 * np.arccos(np.clip(dots, 0.0, 1.0))
+        moved_m = (dt > eps_t) | (dr > eps_r)
+        rows_m = rows[moved_m]
+        if len(rows_m) == 0:
+            return 0
+        # subtract at old poses, re-add at new — one interleaved batch
+        self._dispatch_fuse(
+            np.concatenate([rows_m, rows_m]),
+            np.concatenate([self._q[rows_m], nq[moved_m]]),
+            np.concatenate([self._p[rows_m], npos[moved_m]]),
+            np.concatenate([np.full(len(rows_m), -1.0, np.float32),
+                            np.full(len(rows_m), 1.0, np.float32)]))
+        self._q[rows_m] = nq[moved_m]
+        self._p[rows_m] = npos[moved_m]
+        return int(len(rows_m))
+
+    def _dispatch_fuse(self, rows: np.ndarray, qs: np.ndarray,
+                       ps: np.ndarray, signs: np.ndarray) -> None:
+        """Pad the fuse batch to a power-of-two chunk count and run the
+        single-scan program (at most log2(max-batch) compiled variants)."""
+        B = len(rows)
+        nch = max(1, -(-B // _CHUNK_KF))
+        nch = 1 << (nch - 1).bit_length()
+        m = nch * _CHUNK_KF
+        pad = m - B
+        if pad:
+            rows = np.concatenate([rows, np.zeros((pad,), rows.dtype)])
+            qs = np.concatenate(
+                [qs, np.tile(np.asarray([1, 0, 0, 0], np.float32),
+                             (pad, 1))])
+            ps = np.concatenate([ps, np.zeros((pad, 3), np.float32)])
+            signs = np.concatenate([signs, np.zeros((pad,), np.float32)])
+        self.volume = _fuse_scan(
+            self.cfg, self.volume, jnp.asarray(self._xyz[rows]),
+            jnp.asarray(self._scale[rows]), jnp.asarray(self._valid[rows]),
+            jnp.asarray(qs), jnp.asarray(ps), jnp.asarray(signs),
+            backend=self.backend)
 
     # ------------------------------------------------------------ outputs
     def snapshot_live(self):
@@ -186,39 +382,47 @@ class KeyframeArchive:
     # -------------------------------------------------------- persistence
     def pack(self) -> dict:
         """Stacked host arrays for checkpointing (runtime/checkpoint.py)."""
-        if not self.entries:
+        if self._n == 0:
             return {}
-        nodes = np.asarray(sorted(self.entries), np.int32)
-        es = [self.entries[int(n)] for n in nodes]
+        nodes = np.asarray(sorted(self._idx), np.int32)
+        rows = np.asarray([self._idx[int(n)] for n in nodes], np.int64)
         return {
             "nodes": nodes,
-            "q": np.stack([e.q for e in es]),
-            "p": np.stack([e.p for e in es]),
-            "xyz_q": np.stack([e.xyz_q for e in es]),
-            "scale": np.asarray([e.scale for e in es], np.float32),
-            "valid": np.stack([e.valid for e in es]),
+            "q": self._q[rows].copy(),
+            "p": self._p[rows].copy(),
+            "xyz_q": self._xyz[rows].copy(),
+            "scale": self._scale[rows].copy(),
+            "valid": self._valid[rows].copy(),
         }
 
     def unpack(self, data: dict) -> None:
-        """Restore entries AND replay them into a fresh archive volume
-        (deterministic: same inputs, same jitted program)."""
+        """Restore entries AND replay them into a fresh archive volume in
+        ONE chunked dispatch (deterministic: same inputs, same jitted
+        program as every original add)."""
         if self.backend == "occupancy":
             self.volume = occ_mod.init_occupancy(self.cfg)
         else:
             self.volume = tsdf_mod.init_tsdf(self.cfg)
-        self.entries = {}
+        self._idx = {}
+        self._n = 0
+        self._q = np.zeros((0, 4), np.float32)
+        self._p = np.zeros((0, 3), np.float32)
+        self._xyz = np.zeros((0, 0, 3), np.int16)
+        self._scale = np.zeros((0,), np.float32)
+        self._valid = np.zeros((0, 0), bool)
         if not data or "nodes" not in data:
             return
-        for i, node in enumerate(np.asarray(data["nodes"])):
-            e = ArchiveEntry(
-                q=np.asarray(data["q"][i], np.float32),
-                p=np.asarray(data["p"][i], np.float32),
-                xyz_q=np.asarray(data["xyz_q"][i], np.int16),
-                scale=float(data["scale"][i]),
-                valid=np.asarray(data["valid"][i], bool))
-            self.entries[int(node)] = e
-            self.volume = _fuse_entry(
-                self.cfg, self.volume, jnp.asarray(e.xyz_q),
-                jnp.float32(e.scale), jnp.asarray(e.valid),
-                jnp.asarray(e.q), jnp.asarray(e.p), jnp.float32(1.0),
-                backend=self.backend)
+        nodes = np.asarray(data["nodes"])
+        B = len(nodes)
+        self._ensure(B, np.asarray(data["xyz_q"]).shape[1])
+        for i, node in enumerate(nodes):
+            self._idx[int(node)] = i
+        self._q[:B] = np.asarray(data["q"], np.float32)
+        self._p[:B] = np.asarray(data["p"], np.float32)
+        self._xyz[:B] = np.asarray(data["xyz_q"], np.int16)
+        self._scale[:B] = np.asarray(data["scale"], np.float32)
+        self._valid[:B] = np.asarray(data["valid"], bool)
+        self._n = B
+        rows = np.arange(B, dtype=np.int64)
+        self._dispatch_fuse(rows, self._q[:B], self._p[:B],
+                            np.ones((B,), np.float32))

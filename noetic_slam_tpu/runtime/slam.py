@@ -42,7 +42,8 @@ class SlamSystem:
                  drift_budget_frac: float = 0.05,
                  drift_budget_min: float = 0.3,
                  archive: bool | None = None,
-                 archive_eps_t: float = 0.01, archive_eps_r: float = 0.005,
+                 archive_eps_t: float | None = None,
+                 archive_eps_r: float | None = None,
                  use_descriptors: bool = True,
                  desc_min_score: float = 0.65):
         self.cfg = cfg or DlioConfig()
@@ -66,9 +67,19 @@ class SlamSystem:
             mcfg = (self.cfg.occupancy if backend == "occupancy"
                     else self.cfg.tsdf)
             self.archive = KeyframeArchive(mcfg, backend=backend)
+        # None -> map-resolution thresholds (voxel/4; see
+        # KeyframeArchive.apply_poses for the half-voxel error bound).
         self.archive_eps_t = archive_eps_t
         self.archive_eps_r = archive_eps_r
         self.closure_log: list = []     # per-closure {moved, seconds}
+        # Host-side stage attribution (runtime/profiling.StageTimer):
+        # itemizes where keyframe-rate wall time goes (sync fetches,
+        # archive fuses, descriptor queries, closure verify/optimize) so
+        # the gap between the fused-kernel rate and the whole-system rate
+        # is measured, not guessed (soak artifact stage table).
+        from noetic_slam_tpu.runtime.profiling import StageTimer
+
+        self.stages = StageTimer()
         # Descriptor-based place recognition (models/placedesc): matches
         # the latest keyframe against EVERY keyframe ever created, so loop
         # detection survives both drift (proximity detection needs the
@@ -85,6 +96,8 @@ class SlamSystem:
         self._last_desc_query_node = -1
         self._desc_match_hist: dict = {} # node -> (matched cand, shift)
         self.loop_closures_descriptor = 0
+        self.desc_log: list = []         # per-query {node, cand, score}
+        self.sync_lost_keyframes = 0     # outbox overruns (contract: 0)
         # Drift budget: a verified closure whose pose correction exceeds
         # drift_budget_frac x (path length around the loop) + minimum slack
         # is treated as a geometric alias (a structurally identical scene
@@ -136,34 +149,74 @@ class SlamSystem:
 
     # ------------------------------------------------------- loop closures
     def sync_graph(self) -> int:
-        """Add graph nodes/odometry edges for keyframes created since the
-        last call, in insertion (kf_seq) order. Returns number of new nodes.
+        """Drain the device keyframe OUTBOX: add graph nodes/odometry edges
+        (and archive/descriptor entries) for every keyframe created since
+        the last call, in insertion order. Returns number of new nodes.
 
-        The store may evict: a slot overwritten twice between syncs loses
-        its intermediate keyframe (never becomes a node); consecutive
-        synced keyframes are chained with a relative-pose edge regardless.
+        Losslessness: push_keyframe writes every keyframe into the outbox
+        ring (models/odometry.OdomState.ob_*) independent of resident-store
+        eviction, so a slot overwritten twice between syncs no longer drops
+        the intermediate keyframe from the graph/archive/descriptors (the
+        r3 km soak lost 385/2554 that way). The contract is syncing at
+        least once per capacity.outbox_slots new keyframes; overruns are
+        counted in ``sync_lost_keyframes`` (asserted 0 by the soak).
 
-        Transport discipline: the whole sync costs ONE device fetch in the
-        common no-new-keyframe case and TWO when keyframes were created
-        (metadata tuple + gathered clouds). Sequential small fetches each
-        pay a full relay round trip — the per-batch sync at 5 round trips
-        was measured at 1.5 s/call on the chip, dropping the fused SLAM
-        rate from 132 scans/s (device ceiling) to 17. The fetched keyframe
-        metadata is stashed host-side (_kf_host) for the closure path."""
+        Transport discipline: ONE device fetch in the common
+        no-new-keyframe case, TWO when keyframes were created (metadata
+        tuple + gathered outbox clouds); archive fusion and descriptor
+        uploads are batched into one dispatch each (per-keyframe dispatches
+        cost a relay round trip each — minutes over a km run). The fetched
+        resident-store metadata is stashed host-side (_kf_host) for the
+        closure path."""
         st = self.odometry.state
         if st is None:
             return 0
-        (total, seq, kf_q, kf_p, kf_count, node, n_edges) = [
-            (int(x) if x.ndim == 0 else x) for x in jax.device_get(
-                (st.kf_total, st.kf_seq, st.kf_quat, st.kf_pos,
-                 st.kf_count, self.graph.n_nodes, self.graph.n_edges))]
+        with self.stages("sync_fetch"):
+            (total, seq, kf_q, kf_p, kf_count, node, n_edges, ob_seq,
+             ob_q, ob_p, ob_slot) = [
+                (int(x) if x.ndim == 0 else x) for x in jax.device_get(
+                    (st.kf_total, st.kf_seq, st.kf_quat, st.kf_pos,
+                     st.kf_count, self.graph.n_nodes, self.graph.n_edges,
+                     st.ob_seq, st.ob_q, st.ob_p, st.ob_slot))]
         self._kf_host = {"total": total, "seq": seq, "q": kf_q, "p": kf_p,
                          "count": kf_count}
         self._edges_host = n_edges
         if total <= self._synced_total:
             return 0
-        new_slots = [int(s) for s in np.argsort(seq)
-                     if seq[s] > self._synced_total]
+
+        # Outbox drain: sequences (total - Q, total] live in ring slots
+        # (s - 1) % Q. Older unsynced sequences (a caller syncing less
+        # often than the outbox contract) are recovered from the RESIDENT
+        # store when their slot has not been re-evicted; only keyframes
+        # that BOTH fell out of the ring AND lost their resident slot are
+        # unrecoverable (counted — the soak asserts 0).
+        Q = ob_seq.shape[0]
+        first_new = self._synced_total + 1
+        seq_to_slot = {int(seq[s]): s for s in range(len(seq))
+                       if seq[s] >= first_new}
+        recs = []                     # (seq, from_outbox, index)
+        lost = 0
+        for sq in range(first_new, total + 1):
+            if sq > total - Q:
+                oi = (sq - 1) % Q
+                assert ob_seq[oi] == sq, \
+                    f"outbox ring corrupted: {ob_seq[oi]} != {sq}"
+                recs.append((sq, True, oi))
+            elif sq in seq_to_slot:
+                recs.append((sq, False, seq_to_slot[sq]))
+            else:
+                lost += 1
+        self.sync_lost_keyframes += lost
+        count = len(recs)
+        if count == 0:
+            self._synced_total = total
+            return 0
+        new_q = np.stack([ob_q[i] if ob else kf_q[i]
+                          for _, ob, i in recs])
+        new_p = np.stack([ob_p[i] if ob else kf_p[i]
+                          for _, ob, i in recs])
+        new_slots = np.asarray([ob_slot[i] if ob else i
+                                for _, ob, i in recs])
 
         # Capacity ahead-of-saturation growth: pg.add_node/add_edge saturate
         # silently, which would leave _slot_node entries dangling and the
@@ -172,7 +225,7 @@ class SlamSystem:
         # the whole (unbounded) run.
         cap_n = self.graph.node_q.shape[0]
         cap_e = self.graph.edge_i.shape[0]
-        need_n, need_e = node + len(new_slots), n_edges + len(new_slots) + 4
+        need_n, need_e = node + count, n_edges + count + 4
         while cap_n < need_n:
             cap_n *= 2
         while cap_e < need_e:
@@ -181,48 +234,63 @@ class SlamSystem:
         self.max_graph_nodes = cap_n
 
         # ONE batched fetch of the new keyframes' clouds for the archive +
-        # descriptors (per-slot fetches cost a relay round trip each —
-        # minutes over a thousand-keyframe run).
+        # descriptors.
         need_clouds = (self.archive is not None
                        or self.desc_store is not None)
-        if need_clouds and new_slots:
-            sel = np.asarray(new_slots)
-            xyz_new, valid_new = jax.device_get(
-                (st.kf_xyz[jnp.asarray(sel)], st.kf_valid[jnp.asarray(sel)]))
+        if need_clouds:
+            with self.stages("sync_clouds"):
+                from_ob = np.asarray([ob for _, ob, _ in recs])
+                ob_sel = jnp.asarray(
+                    [i if ob else 0 for _, ob, i in recs])
+                if from_ob.all():     # common case: one pair of gathers
+                    xyz_new, valid_new = jax.device_get(
+                        (st.ob_xyz[ob_sel], st.ob_valid[ob_sel]))
+                else:
+                    kf_sel = jnp.asarray(
+                        [0 if ob else i for _, ob, i in recs])
+                    oxyz, oval, kxyz, kval = jax.device_get(
+                        (st.ob_xyz[ob_sel], st.ob_valid[ob_sel],
+                         st.kf_xyz[kf_sel], st.kf_valid[kf_sel]))
+                    xyz_new = np.where(from_ob[:, None, None], oxyz, kxyz)
+                    valid_new = np.where(from_ob[:, None], oval, kval)
 
         # ONE jitted dispatch appends every new node + chain edge (the
         # eager per-keyframe add_node/add_edge path cost ~170 ms/keyframe
         # through the relay — pg.add_nodes_chain docstring).
         have_prev = self._last_kf_pose is not None
         self.graph = pg.add_nodes_chain(
-            self.graph, kf_q[new_slots], kf_p[new_slots], len(new_slots),
+            self.graph, new_q, new_p, count,
             prev_q=self._last_kf_pose[0] if have_prev else None,
             prev_p=self._last_kf_pose[1] if have_prev else None)
-        self._edges_host += len(new_slots) - (0 if have_prev else 1)
+        self._edges_host += count - (0 if have_prev else 1)
 
-        new = 0
+        node_ids = list(range(node, node + count))
         for k, s in enumerate(new_slots):
+            s = int(s)
             old_node = self._slot_node.get(s)
             if old_node is not None:
                 self._node_slot.pop(old_node, None)    # slot evicted
-            self._slot_node[s] = node
-            self._node_slot[node] = s
-            self._last_kf_pose = (kf_q[s].copy(), kf_p[s].copy())
-            if self.archive is not None:
-                self.archive.add(node, kf_q[s], kf_p[s], xyz_new[k],
-                                 valid_new[k])
-            if self.desc_store is not None:
-                from noetic_slam_tpu.models.placedesc import ring_descriptor
-                from noetic_slam_tpu.utils.geometry import quat_to_mat_np
+            self._slot_node[s] = node_ids[k]
+            self._node_slot[node_ids[k]] = s
+        self._last_kf_pose = (new_q[-1].copy(), new_p[-1].copy())
 
-                R = quat_to_mat_np(kf_q[s])   # host: no device round trip
-                local = (xyz_new[k] - kf_p[s]) @ R
-                self.desc_store.add(node, ring_descriptor(local,
-                                                          valid_new[k]))
-            node += 1
-            new += 1
+        if self.archive is not None:
+            with self.stages("archive_add"):
+                self.archive.add_batch(node_ids, new_q, new_p,
+                                       xyz_new, valid_new)
+        if self.desc_store is not None:
+            from noetic_slam_tpu.models.placedesc import ring_descriptor
+            from noetic_slam_tpu.utils.geometry import quat_to_mat_np
+
+            with self.stages("desc_add"):
+                descs = []
+                for k in range(count):
+                    R = quat_to_mat_np(new_q[k])  # host: no device trip
+                    local = (xyz_new[k] - new_p[k]) @ R
+                    descs.append(ring_descriptor(local, valid_new[k]))
+                self.desc_store.add_batch(node_ids, descs)
         self._synced_total = total
-        return new
+        return count
 
     def maybe_close_loop(self) -> bool:
         """Detect + verify + apply one loop closure for the latest
@@ -243,10 +311,9 @@ class SlamSystem:
         if self._synced_total < self.loop_min_gap + 2:
             return False
         # All keyframe metadata comes from sync_graph's host stash — the
-        # detection path costs ZERO additional device round trips (the
-        # proximity rule below is pg.detect_loop_candidate's exact
-        # definition on the stashed arrays; that jitted form remains for
-        # device-side callers).
+        # detection path costs ZERO additional device round trips
+        # (pg.detect_loop_candidate_np is the shared host form of the
+        # jitted rule; parity pinned in tests/test_posegraph.py).
         kh = self._kf_host
         seq, kf_p_h = kh["seq"], kh["p"]
         cur = int(np.argmax(seq))
@@ -255,13 +322,10 @@ class SlamSystem:
         cur_node = self._slot_node[cur]
 
         # --- 1) proximity candidate (resident store) ---
-        slots = np.arange(seq.shape[0])
-        d = np.linalg.norm(kf_p_h - kf_p_h[cur][None, :], axis=-1)
-        eligible = ((slots < kh["count"]) & (seq > 0)
-                    & (seq <= seq[cur] - self.loop_min_gap))
-        d = np.where(eligible, d, np.inf)
-        cand = int(np.argmin(d))
-        if d[cand] < self.loop_radius:
+        cand, prox_ok = pg.detect_loop_candidate_np(
+            kf_p_h, seq, kh["count"], cur, self.loop_radius,
+            self.loop_min_gap)
+        if prox_ok:
             if cand in self._slot_node:
                 if self._attempt_closure(
                         cur, cur_node, self._slot_node[cand],
@@ -270,33 +334,43 @@ class SlamSystem:
                     return True
 
         # --- 2) descriptor candidates (full history) ---
-        # Every not-yet-queried keyframe gets one descriptor query; a
-        # closure is attempted only when TWO CONSECUTIVE keyframes match
-        # the same historical place (temporal consistency — a single-frame
-        # match in self-similar environments is how aliases slip through:
-        # observed in the tiny-soak room, where a first-lap alias closure
-        # passed every local gate and tripled the ATE).
+        # EVERY not-yet-queried keyframe gets one descriptor query — in a
+        # single batched dispatch (models/placedesc.match_store_batch), so
+        # query cadence is no longer a host-round-trip tradeoff (the r3
+        # design capped queries at the newest ~4 keyframes per attempt and
+        # the km soak's drift reached 2.2 m before the lone descriptor
+        # closure fired). A closure is attempted only when TWO CONSECUTIVE
+        # keyframes match the same historical place (temporal consistency —
+        # a single-frame match in self-similar environments is how aliases
+        # slip through: observed in the tiny-soak room, where a first-lap
+        # alias closure passed every local gate and tripled the ATE).
         if self.desc_store is None:
             return False
-        # Query only the NEWEST few un-queried keyframes: draining an
-        # unbounded backlog makes the query pointer lag ever further
-        # behind (observed in the r3 soak: after a cooldown the loop broke
-        # on the first applied closure and never caught up, issuing
-        # "closures" for keyframes hundreds of scans old), and a stale
-        # closure is useless anyway — loop closure serves the CURRENT
-        # position.
-        start = max(self._last_desc_query_node + 1, cur_node - 3)
-        for n in range(start, min(cur_node, self.desc_store.count - 1) + 1):
-            self._last_desc_query_node = n
-            cand, score, shift = self.desc_store.query(
-                self.desc_store._host[n],
-                exclude_from=n - self.loop_min_gap)
+        start = self._last_desc_query_node + 1
+        end = min(cur_node, self.desc_store.count - 1)
+        if end < start:
+            return False
+        nodes_q = np.arange(start, end + 1)
+        with self.stages("desc_query"):
+            cands, scores, shifts = self.desc_store.query_batch(
+                nodes_q, nodes_q - self.loop_min_gap)
+        self._last_desc_query_node = int(end)
+        # Record the full match history FIRST (temporal-consistency seeds
+        # must not be lost when an earlier query in the batch closes).
+        matched = []
+        for k, n in enumerate(nodes_q):
+            n, cand = int(n), int(cands[k])
+            score, shift = float(scores[k]), int(shifts[k])
+            self.desc_log.append({"node": n, "cand": cand,
+                                  "score": round(score, 4)})
             if cand < 0 or score < self.desc_min_score:
                 continue
             prev = self._desc_match_hist.get(n - 1)
             self._desc_match_hist[n] = (cand, shift)
             if prev is None or abs(cand - prev[0]) > 5:
                 continue            # not yet temporally consistent
+            matched.append((n, cand, shift))
+        for n, cand, shift in matched:
             slot = self._node_slot.get(n)
             if slot is None:
                 continue            # source keyframe already evicted
@@ -306,7 +380,6 @@ class SlamSystem:
             if self._attempt_descriptor_closure(
                     slot, n, cand, shift, cand_xyz, cand_cov, cand_q,
                     cand_p):
-                self._last_desc_query_node = cur_node
                 return True
         return False
 
@@ -381,14 +454,15 @@ class SlamSystem:
             self.cfg.gicp, max_iterations=max(self.cfg.gicp.max_iterations,
                                               32),
             lm_max_iterations=max(self.cfg.gicp.lm_max_iterations, 10))
-        T_corr, accepted = pg.verify_loop(
-            st.kf_xyz[cur], st.kf_valid[cur], st.kf_cov[cur],
-            cand_xyz, cand_cov, vcfg,
-            max_corr_dist=2.0 * self.cfg.gicp.max_corr_dist,
-            guess=guess)
-        # ONE fetch for the verdict + correction; the rest of the edge
-        # construction is host numpy (make_se3_np/mat_to_quat_np).
-        accepted, Tc = jax.device_get((accepted, T_corr))
+        with self.stages("closure_verify"):
+            T_corr, accepted = pg.verify_loop(
+                st.kf_xyz[cur], st.kf_valid[cur], st.kf_cov[cur],
+                cand_xyz, cand_cov, vcfg,
+                max_corr_dist=2.0 * self.cfg.gicp.max_corr_dist,
+                guess=guess)
+            # ONE fetch for the verdict + correction; the rest of the edge
+            # construction is host numpy (make_se3_np/mat_to_quat_np).
+            accepted, Tc = jax.device_get((accepted, T_corr))
         if not bool(accepted):
             return False
 
@@ -432,7 +506,8 @@ class SlamSystem:
         import time as _time
 
         t0 = _time.perf_counter()
-        self.graph = pg.optimize(self.graph, iters=10)
+        with self.stages("closure_optimize"):
+            self.graph = pg.optimize(self.graph, iters=10)
         moved = self._apply_graph_to_state()
         if self.enable_tsdf and self.odometry.tsdf_state is not None:
             jax.block_until_ready(jax.tree.leaves(self.odometry.tsdf_state)[0])
@@ -508,14 +583,17 @@ class SlamSystem:
         if self.enable_tsdf and self.odometry.tsdf_state is not None:
             if self.archive is not None:
                 # Incremental archive correction: subtract/re-add ONLY the
-                # keyframes whose optimized pose moved (O(moved), exact —
+                # keyframes whose optimized pose moved beyond the
+                # map-resolution bound (O(moved), one jitted dispatch —
                 # runtime/archive.py), over ALL keyframes ever created (the
                 # resident store evicts; the archive does not). The live
                 # volume then restarts from the corrected archive snapshot.
-                moved = self.archive.apply_poses(
-                    node_q, node_p, eps_t=self.archive_eps_t,
-                    eps_r=self.archive_eps_r)
-                self.odometry.tsdf_state = self.archive.snapshot_live()
+                with self.stages("archive_apply"):
+                    moved = self.archive.apply_poses(
+                        node_q, node_p, eps_t=self.archive_eps_t,
+                        eps_r=self.archive_eps_r)
+                with self.stages("archive_snapshot"):
+                    self.odometry.tsdf_state = self.archive.snapshot_live()
             elif self.cfg.map_backend == "occupancy":
                 from noetic_slam_tpu.models import occupancy as occ_mod
 
@@ -528,6 +606,11 @@ class SlamSystem:
                 self.odometry.tsdf_state = tsdf_mod.rebuild_from_keyframes(
                     self.cfg.tsdf, st2.kf_xyz, st2.kf_valid, st2.kf_pos,
                     st2.kf_count)
+        # The host stash of keyframe metadata now holds PRE-closure poses
+        # while the device clouds are post-closure: invalidate it so any
+        # later read in the same pass fails loudly instead of silently
+        # mixing frames (the next sync_graph re-fetches).
+        self._kf_host = None
         return moved
 
     # --------------------------------------------------- checkpoint/resume

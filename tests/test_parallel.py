@@ -67,6 +67,45 @@ def test_sharded_posegraph_matches_single_device(rng, mesh8):
     np.testing.assert_allclose(dots, 1.0, atol=1e-6)
 
 
+def test_sharded_cg_matches_single_device_large(rng, mesh8):
+    """The distributed large-graph path (edge-sharded matrix-free PCG,
+    psum-combined matvec) must match the single-device CG solver on a
+    km-soak-scale graph (>1,000 nodes) — the regime where the dense
+    sharded path would psum a replicated (6K)^2 matrix per GN step."""
+    from noetic_slam_tpu.models import posegraph as pg
+    from noetic_slam_tpu.parallel.bundle_adjustment import sharded_optimize
+
+    K, E = 1200, 2048                      # 2048 edges divide 8 devices
+    # noisy circle chain + a handful of loop-closure edges
+    th = np.linspace(0, 4 * np.pi, K).astype(np.float32)
+    gt_p = np.stack([30 * np.cos(th), 30 * np.sin(th),
+                     0.1 * th], -1).astype(np.float32)
+    est_p = gt_p + rng.normal(scale=0.15, size=(K, 3)).astype(np.float32)
+    qs = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (K, 1))
+
+    g = pg.init_graph(K, E)
+    g = pg.add_nodes_chain(g, qs, est_p, K)
+    # chain edges measure the noisy relative poses; add loop edges with the
+    # TRUE relative translation so optimization actually moves nodes
+    for (i, j) in [(0, 600), (100, 700), (200, 800), (50, 1150)]:
+        dq, dp = pg.relative_pose(
+            jnp.asarray(qs[i]), jnp.asarray(gt_p[i]),
+            jnp.asarray(qs[j]), jnp.asarray(gt_p[j]))
+        g = pg.add_edge(g, jnp.int32(i), jnp.int32(j), dq, dp,
+                        w_rot=2.0, w_trans=2.0)
+
+    ref = pg.optimize(g, iters=3, method="cg", cg_iters=60)
+    got = sharded_optimize(mesh8, g, iters=3, method="cg", cg_iters=60)
+    assert int(got.n_nodes) == K
+    np.testing.assert_allclose(np.asarray(got.node_p),
+                               np.asarray(ref.node_p), atol=1e-3)
+    dots = np.abs(np.sum(np.asarray(got.node_q) * np.asarray(ref.node_q),
+                         axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+    # and the solve genuinely reduced the graph cost
+    assert float(pg.graph_cost(got)) < 0.5 * float(pg.graph_cost(g))
+
+
 def test_batched_odometry_matches_sequential(rng, mesh8):
     """4 independent sequences via vmap+batch sharding == 4 sequential
     runs."""
@@ -139,32 +178,54 @@ def test_sharded_tsdf_matches_single_device(rng, mesh8):
     assert set1 == set2
 
 
-def test_collective_traffic_matches_hlo():
-    """The analytical per-align collective budget must match the all-gather
-    tensors actually present in the compiled SPMD program."""
+def _align_hlo_reduce_stats(ndev: int, nq: int, nt: int):
+    """(all-gather count, total all-reduce elements) of the compiled
+    sharded-align SPMD program."""
     import re
 
-    from noetic_slam_tpu.config.params import GicpConfig
     from noetic_slam_tpu.parallel import registration as reg
     from noetic_slam_tpu.parallel.mesh import make_mesh
 
     cfg = GicpConfig()
-    ndev = 8
     mesh = make_mesh(ndev, axis="map")
-    nq, nt = 512, 2048
     args = (jnp.zeros((nq, 3)), jnp.ones((nq,), bool), jnp.zeros((nq, 6)),
             jnp.zeros((nt, 3)), jnp.zeros((nt, 6)))
     lowered = jax.jit(
         lambda *a: reg.sharded_gicp_align(mesh, *a, cfg)).lower(*args)
     hlo = lowered.compile().as_text()
+    # HLO text puts the result shape BEFORE the op name:
+    # `%x = f32[512]{0} all-reduce(` (tuple-shaped for fused reductions).
+    gathers = re.findall(r"all-gather\(", hlo)
+    reduces = re.findall(r"= ((?:\([^)]*\))|(?:[a-z0-9]+\[[0-9,]*\]))"
+                         r"[^\n=]*? all-reduce(?:-start)?\(", hlo)
+    total_elems = 0
+    for shape in reduces:
+        for dims in re.findall(r"\[([0-9,]*)\]", shape):
+            total_elems += int(np.prod([int(x) for x in dims.split(",")]
+                                       if dims else [1]))
+    return len(gathers), total_elems
 
-    # all-gather output shapes in the optimized module (HLO text puts the
-    # result shape BEFORE the op name: `%x = f32[8,512,3]{...} all-gather(`)
-    gathered = re.findall(r"f32\[([0-9,]+)\][^\n=]*all-gather\(", hlo)
-    shapes = sorted(tuple(int(x) for x in s.split(",")) for s in gathered)
-    budget = reg.collective_traffic_per_align(cfg, nq, ndev)
-    # d (ndev, nq) + pt (ndev, nq, 3) + cv (ndev, nq, 6) -- possibly fused
-    # into fewer instructions; compare total materialized f32 counts
-    got_floats = sum(int(np.prod(s)) for s in shapes)
-    want_floats = budget["per_relinearize_gather_materialized_bytes"] // 4
-    assert got_floats == want_floats, (shapes, want_floats)
+
+def test_collective_traffic_matches_hlo():
+    """The O(1)-traffic contract, pinned against the compiled SPMD program:
+    the NN winner selection must compile to all-REDUCES only (no
+    all-gather — the r3 design's gather made per-device traffic O(ndev)),
+    with a per-relinearize element count matching the analytical budget and
+    INDEPENDENT of device count."""
+    from noetic_slam_tpu.parallel import registration as reg
+
+    cfg = GicpConfig()
+    nq, nt = 512, 2048
+    budget = reg.collective_traffic_per_align(cfg, nq, 8)
+
+    gathers8, elems8 = _align_hlo_reduce_stats(8, nq, nt)
+    assert gathers8 == 0, "NN winner selection must not all-gather"
+    # d (nq) + win id (nq) + pt (3nq) + cv (6nq) + H/b/err/n (44) per
+    # relinearize, plus a handful of scalar loop-control reductions.
+    want = budget["per_relinearize_reduce_elements"]
+    assert want <= elems8 <= want + 64, (elems8, want)
+
+    # flat in device count: same reduce elements at D = 4
+    gathers4, elems4 = _align_hlo_reduce_stats(4, nq, nt)
+    assert gathers4 == 0
+    assert elems4 == elems8, (elems4, elems8)

@@ -194,3 +194,102 @@ def test_grow_preserves_graph_and_optimize(rng):
     np.testing.assert_allclose(np.abs(np.sum(
         np.asarray(og.node_q)[:n] * np.asarray(ob.node_q)[:n], -1)),
         1.0, atol=1e-6)
+
+
+def test_add_nodes_chain_matches_eager(rng):
+    """add_nodes_chain (the live system's only graph builder) must equal
+    the eager add_node/relative_pose/add_edge sequence field-for-field —
+    both have_prev branches and a non-power-of-two count (padded bucket)."""
+    import jax.numpy as jnp
+
+    from noetic_slam_tpu.models import posegraph as pg
+    from scipy.spatial.transform import Rotation
+
+    for have_prev, count in [(False, 1), (False, 5), (True, 1), (True, 3),
+                             (True, 5)]:
+        qs = Rotation.random(count, random_state=rng.integers(1 << 30)
+                             ).as_quat()[:, [3, 0, 1, 2]].astype(np.float32)
+        ps = rng.normal(scale=3.0, size=(count, 3)).astype(np.float32)
+        prev_q = Rotation.random(random_state=1).as_quat()[
+            [3, 0, 1, 2]].astype(np.float32)
+        prev_p = np.asarray([1.0, -2.0, 0.5], np.float32)
+
+        eager = pg.init_graph(16, 16)
+        chain = pg.init_graph(16, 16)
+        last = None
+        if have_prev:
+            eager = pg.add_node(eager, jnp.asarray(prev_q),
+                                jnp.asarray(prev_p))
+            chain = pg.add_node(chain, jnp.asarray(prev_q),
+                                jnp.asarray(prev_p))
+            last = (prev_q, prev_p)
+        for k in range(count):
+            if last is not None:
+                dq, dp = pg.relative_pose(
+                    jnp.asarray(last[0]), jnp.asarray(last[1]),
+                    jnp.asarray(qs[k]), jnp.asarray(ps[k]))
+                eager = pg.add_edge(eager, eager.n_nodes - 1, eager.n_nodes,
+                                    dq, dp)
+            eager = pg.add_node(eager, jnp.asarray(qs[k]),
+                                jnp.asarray(ps[k]))
+            last = (qs[k], ps[k])
+        chain = pg.add_nodes_chain(
+            chain, qs, ps, count,
+            prev_q=prev_q if have_prev else None,
+            prev_p=prev_p if have_prev else None)
+
+        for f in pg.PoseGraph._fields:
+            a = np.asarray(getattr(chain, f))
+            b = np.asarray(getattr(eager, f))
+            msg = f"{f} (have_prev={have_prev}, count={count})"
+            if a.dtype.kind in "fc":
+                # batched quat math differs from the scalar path by ~1 ulp
+                np.testing.assert_allclose(a, b, atol=1e-6, err_msg=msg)
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=msg)
+
+
+def test_add_nodes_chain_saturates_at_capacity():
+    """Counter saturation (ADVICE r3): overflowing add_nodes_chain must
+    clamp n_nodes/n_edges at capacity (matching add_node/add_edge), never
+    advance them past it onto identity rows."""
+    import jax.numpy as jnp
+
+    from noetic_slam_tpu.models import posegraph as pg
+
+    g = pg.init_graph(4, 4)
+    qs = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (6, 1))
+    ps = np.arange(18, dtype=np.float32).reshape(6, 3)
+    g = pg.add_nodes_chain(g, qs, ps, 6)
+    assert int(g.n_nodes) == 4
+    assert int(g.n_edges) <= 4
+    np.testing.assert_array_equal(np.asarray(g.node_p), ps[:4])
+
+
+def test_detect_loop_candidate_np_parity(rng):
+    """The host-numpy proximity rule (used by SlamSystem.maybe_close_loop)
+    must select the same (cand, ok) as the jitted detect_loop_candidate on
+    random stores — one definition, no silent drift (ADVICE r3)."""
+    import jax.numpy as jnp
+
+    from noetic_slam_tpu.models import posegraph as pg
+
+    for trial in range(20):
+        K = int(rng.integers(4, 24))
+        kf_pos = rng.normal(scale=8.0, size=(K, 3)).astype(np.float32)
+        kf_count = int(rng.integers(1, K + 1))
+        kf_seq = np.zeros((K,), np.int32)
+        order = rng.permutation(K)[:kf_count]
+        kf_seq[order] = np.arange(1, kf_count + 1)
+        cur = int(order[-1])
+        radius = float(rng.uniform(1.0, 12.0))
+        min_gap = int(rng.integers(1, 6))
+
+        jb, jok = pg.detect_loop_candidate(
+            jnp.asarray(kf_pos), jnp.int32(kf_count), jnp.int32(cur),
+            radius, min_gap, kf_seq=jnp.asarray(kf_seq))
+        nb, nok = pg.detect_loop_candidate_np(
+            kf_pos, kf_seq, kf_count, cur, radius, min_gap)
+        assert bool(jok) == nok, trial
+        if nok:
+            assert int(jb) == nb, trial
