@@ -16,7 +16,13 @@ Three throughput numbers are reported (VERDICT r2 item 3):
   p50/p95 per-scan latency measured INCLUDING a per-scan dependent pose
   fetch through the transport (what a live consumer experiences here).
 - ``extras.slam_fused_scans_per_sec``: odometry + TSDF fusion in one
-  jitted program (make_slam_step) — what `cli slam` sustains.
+  jitted program (make_slam_step) — the device kernel ceiling of the
+  `cli slam` step.
+- ``extras.slam_system_scans_per_sec``: the COMPLETE SlamSystem — fused
+  step + per-batch keyframe sync + archive fusion + descriptor
+  extraction/matching + loop closures, overall wall clock. This is the
+  number `cli slam` actually sustains end-to-end (>= 10 = real time at
+  the sensor rate).
 
 ``extras.roofline``: achieved GFLOP/s / GB/s and %-of-peak for the NN and
 TSDF kernels measured in-run on this chip (full table: ROOFLINE.md).
@@ -268,6 +274,77 @@ def main():
         slam_fused = {"slam_fused_scans_per_sec": round(
             1e3 / max(fused_ms, 1e-9), 2)}
 
+    # ---- WHOLE-SYSTEM rate: SlamSystem end-to-end ----
+    # The number `cli slam` actually sustains: fused odometry+TSDF step
+    # PLUS per-batch keyframe sync (outbox drain), archive fusion,
+    # descriptor extraction+matching, and loop-closure attempts — ALL
+    # keyframe-rate host work included (VERDICT r3 #1: the kernel rates
+    # above exclude it; the r3 composed system ran 3-4x below real time).
+    # Overall wall over a steady multi-lap stretch, closures firing.
+    slam_system = {}
+    if os.environ.get("BENCH_SKIP_SYSTEM") != "1":
+        from noetic_slam_tpu.config.params import (KeyframeConfig as KC,
+                                                   TsdfConfig as TC)
+        from noetic_slam_tpu.runtime.slam import SlamSystem
+        from noetic_slam_tpu.utils.synthetic import spiral_pose_of
+
+        n_sys = 48 if tiny else 240
+        cap4 = CapacityConfig(
+            max_points=2048 if tiny else 8192,
+            max_ds_points=1024 if tiny else 4096,
+            max_deskew_frames=512 if tiny else 1024,
+            max_imu_window=64 if tiny else 128,
+            max_keyframes=32 if tiny else 128,
+            max_submap_kf=8 if tiny else 16, max_trajectory=4096)
+        cfg4 = DlioConfig(
+            capacity=cap4, adaptive=False,
+            keyframe=KC(thresh_dist=0.5, thresh_rot=45.0),
+            tsdf=TC(voxel_size=0.2, truncation=0.6,
+                    max_blocks=4096 if tiny else 16384,
+                    space_carving=False,
+                    scan_block_cap=1024 if tiny else 2048))
+        sim4 = synthetic.make_sim(
+            duration=n_sys / 10.0 + 0.4, n_points=cap4.max_points,
+            calib_time=3.1, seed=23, pose_fn=spiral_pose_of,
+            imu_noise=0.0005)
+        scans4 = [sim4.scan(i)
+                  for i in range(min(n_sys, len(sim4.scan_stamps)))]
+        slam4 = SlamSystem(cfg4, enable_tsdf=True, enable_loop_closure=True,
+                           loop_radius=4.0, loop_min_gap=15)
+        imu_m = 0
+
+        def feed4(through):
+            nonlocal imu_m
+            while (imu_m < len(sim4.imu_stamps)
+                   and sim4.imu_stamps[imu_m] <= through):
+                slam4.push_imu(sim4.imu_stamps[imu_m], sim4.imu_ang[imu_m],
+                               sim4.imu_acc[imu_m])
+                imu_m += 1
+
+        def run_system(lo, hi):
+            for b0 in range(lo, hi, K):
+                chunk = scans4[b0: min(b0 + K, hi)]
+                feed4(max(h + pt.max() for h, _, pt in chunk) + 0.02)
+                slam4.process_scans([(h, xyz, pt) for h, xyz, pt in chunk])
+                slam4.sync_graph()
+                if b0 % (3 * K) == 0 and b0 > 0:
+                    slam4.maybe_close_loop()
+            return float(jnp.sum(slam4.odometry.state.lidar_p))
+
+        sw0 = 4 * K
+        run_system(0, sw0)                  # compile + bootstrap
+        t0 = time.perf_counter()
+        run_system(sw0, len(scans4))
+        t1 = time.perf_counter()
+        slam_system = {
+            "slam_system_scans_per_sec": round(
+                (len(scans4) - sw0) / (t1 - t0), 2),
+            "slam_system_includes":
+                "fused step + sync + archive + descriptors + closures",
+            "slam_system_closures": slam4.loop_closures,
+            "slam_system_lost_keyframes": slam4.sync_lost_keyframes,
+        }
+
     # ---- In-run roofline/MFU lines (full table: ROOFLINE.md) ----
     roofline = {}
     if os.environ.get("BENCH_SKIP_ROOFLINE") != "1" and not tiny:
@@ -367,6 +444,7 @@ def main():
             "submap_overflow": pipe.submap_overflow,
             **online,
             **slam_fused,
+            **slam_system,
             **({"roofline": roofline} if roofline else {}),
         },
     }
@@ -376,6 +454,7 @@ def main():
           f"submap_overflow={pipe.submap_overflow} "
           f"tsdf_integrations_per_sec={tsdf_per_sec:.1f} "
           f"online={online} slam_fused={slam_fused} "
+          f"slam_system={slam_system} "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
 

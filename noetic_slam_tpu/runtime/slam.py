@@ -197,12 +197,12 @@ class SlamSystem:
         recs = []                     # (seq, from_outbox, index)
         lost = 0
         for sq in range(first_new, total + 1):
-            if sq > total - Q:
-                oi = (sq - 1) % Q
-                assert ob_seq[oi] == sq, \
-                    f"outbox ring corrupted: {ob_seq[oi]} != {sq}"
+            oi = (sq - 1) % Q
+            if sq > total - Q and ob_seq[oi] == sq:
                 recs.append((sq, True, oi))
             elif sq in seq_to_slot:
+                # ring miss (e.g. a hand-constructed state) or older than
+                # the ring window: recover from the resident store
                 recs.append((sq, False, seq_to_slot[sq]))
             else:
                 lost += 1

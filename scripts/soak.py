@@ -69,7 +69,7 @@ def main():
     n_scans = int(os.environ.get("SOAK_SCANS", "150" if tiny else "2000"))
     out_path = os.environ.get(
         "SOAK_OUT", os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SOAK_r03.json"))
+            os.path.abspath(__file__))), "SOAK_r04.json"))
     K = int(os.environ.get("SOAK_BATCH", "8"))
 
     import jax
@@ -125,8 +125,13 @@ def main():
                           sim.imu_acc[imu_i])
             imu_i += 1
 
-    closure_every = 10 if tiny else 25
-    cooldown = 20 if tiny else 100
+    # Closure attempts every batch (the r3 cadence of 25 scans + 100-scan
+    # cooldown existed because closures cost 15-34 s each through the
+    # per-keyframe archive dispatches; with the batched archive they cost
+    # <~1 s, and attempting often catches drift while corrections are
+    # still small — the r3 km run let drift reach 2.2 m between closures).
+    closure_every = 10 if tiny else K
+    cooldown = 20 if tiny else 30
     ckpt_at = (n_scans * 3) // 5 // K * K
     cmp_scans = 2 * K                     # bitwise continuation window
     ckpt_path = os.path.join("/tmp", "soak_ckpt.nst.npz")
@@ -215,6 +220,69 @@ def main():
     traj = slam.flush()
     ate = synthetic.ate_rmse(traj[:, 0], traj[:, 1:4], sim.gt_stamps,
                              sim.gt_pos)
+
+    # ---- descriptor place-recognition recall/precision vs ground truth --
+    # Node n <-> n-th keyframe in trajectory order (hand-off is lossless:
+    # sync_lost_keyframes == 0 is asserted below). A query is a POSITIVE
+    # when a >= min_gap-older keyframe truly lies within 3 m (gt); a HIT
+    # when the returned candidate is truly within 5 m at score >= thresh.
+    gt_of = lambda t: np.stack(
+        [np.interp(t, sim.gt_stamps, sim.gt_pos[:, k]) for k in range(3)],
+        -1)
+    kf_stamps = np.asarray([e.stamp for e in slam.odometry.trajectory
+                            if e.is_keyframe])
+    node_gt = gt_of(kf_stamps)
+    n_nodes_h = int(jax.device_get(slam.graph.n_nodes))
+    positives = hits = matches = true_matches = 0
+    min_gap = 15
+    for qrec in slam.desc_log:
+        n, cand, score = qrec["node"], qrec["cand"], qrec["score"]
+        if n >= len(node_gt):
+            continue
+        old = node_gt[: max(n - min_gap + 1, 0)]
+        is_pos = len(old) and (np.linalg.norm(
+            old - node_gt[n], axis=-1).min() < 3.0)
+        matched = (cand >= 0 and score >= slam.desc_min_score
+                   and cand < len(node_gt))
+        is_true = matched and (np.linalg.norm(
+            node_gt[cand] - node_gt[n]) < 5.0)
+        positives += bool(is_pos)
+        hits += bool(is_pos and is_true)
+        matches += bool(matched)
+        true_matches += bool(is_true)
+    # ROC sweep over the logged best-candidate scores: what recall /
+    # precision each threshold would yield on THIS run (the km-scale
+    # drifted data VERDICT r3 asked the threshold to be calibrated on).
+    labeled = []
+    for qrec in slam.desc_log:
+        n, cand, score = qrec["node"], qrec["cand"], qrec["score"]
+        if n >= len(node_gt) or cand < 0 or cand >= len(node_gt):
+            continue
+        old = node_gt[: max(n - min_gap + 1, 0)]
+        is_pos = len(old) and (np.linalg.norm(
+            old - node_gt[n], axis=-1).min() < 3.0)
+        is_true = np.linalg.norm(node_gt[cand] - node_gt[n]) < 5.0
+        labeled.append((score, bool(is_pos), bool(is_true)))
+    roc = {}
+    for t in (0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8):
+        n_pos_t = sum(1 for _, p, _ in labeled if p)
+        rec_t = (sum(1 for s, p, tr in labeled if p and tr and s >= t)
+                 / n_pos_t) if n_pos_t else None
+        n_m = sum(1 for s, _, _ in labeled if s >= t)
+        prec_t = (sum(1 for s, _, tr in labeled if s >= t and tr)
+                  / n_m) if n_m else None
+        roc[str(t)] = [None if rec_t is None else round(rec_t, 3),
+                       None if prec_t is None else round(prec_t, 3)]
+    desc_stats = {
+        "descriptor_queries": len(slam.desc_log),
+        "descriptor_positives": positives,
+        "descriptor_recall": round(hits / positives, 3) if positives
+        else None,
+        "descriptor_precision": round(true_matches / matches, 3) if matches
+        else None,
+        "descriptor_score_roc": roc,
+        "descriptor_min_score": slam.desc_min_score,
+    }
     # per-decile aligned error profile (locates divergence in time)
     gt_i = np.stack([np.interp(traj[:, 0], sim.gt_stamps, sim.gt_pos[:, k])
                      for k in range(3)], -1)
@@ -238,6 +306,9 @@ def main():
     steady = [w["scans_per_sec"] for w in windows[1:]] or \
              [w["scans_per_sec"] for w in windows]
     archive_blocks = [b["archive_blocks"] for b in blocks_log]
+    closure_secs = sorted(c["seconds"] for c in blocks_log) or [0.0]
+    closure_p95 = closure_secs[min(int(0.95 * len(closure_secs)),
+                                   len(closure_secs) - 1)]
     result = {
         "artifact": "long-soak SLAM run (scripts/soak.py)",
         "backend": jax.default_backend(),
@@ -256,11 +327,21 @@ def main():
         "graph_edges": int(jax.device_get(slam.graph.n_edges)),
         "cg_path": int(jax.device_get(slam.graph.n_nodes)) > 192,
         "loop_closures_applied": slam.loop_closures,
+        "loop_closures_descriptor": slam.loop_closures_descriptor,
         "loop_rejected_budget": slam.loop_rejected_budget,
         "closure_log": blocks_log,
+        "closure_seconds_p95": round(closure_p95, 3),
         "archived_keyframes": len(slam.archive) if slam.archive else 0,
-        "sync_lost_keyframes": int(jax.device_get(st.kf_total))
+        "sync_lost_keyframes": slam.sync_lost_keyframes,
+        "kf_total_minus_graph_nodes": int(jax.device_get(st.kf_total))
         - int(jax.device_get(slam.graph.n_nodes)),
+        **desc_stats,
+        "stage_table": {
+            k: {"calls": slam.stages.counts[k],
+                "total_s": round(slam.stages.totals[k], 2),
+                "mean_ms": round(slam.stages.mean_ms(k), 1)}
+            for k in sorted(slam.stages.totals,
+                            key=lambda k: -slam.stages.totals[k])},
         "archive_blocks_monotone": bool(
             all(b2 >= b1 for b1, b2 in zip(archive_blocks,
                                            archive_blocks[1:]))),
@@ -278,7 +359,8 @@ def main():
           and result["graph_nodes"] > (16 if tiny else 192)
           and result["loop_closures_applied"] >= (1 if tiny else 3)
           and result["checkpoint_resume_bitwise"]
-          and result["archive_blocks_monotone"])
+          and result["archive_blocks_monotone"]
+          and result["sync_lost_keyframes"] == 0)
     print(f"SOAK {'OK' if ok else 'FAILED'}", file=sys.stderr)
     return 0 if ok else 1
 
