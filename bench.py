@@ -332,6 +332,7 @@ def main():
             return float(jnp.sum(slam4.odometry.state.lidar_p))
 
         sw0 = 4 * K
+        slam4.warmup()                      # closure-stack compiles
         run_system(0, sw0)                  # compile + bootstrap
         t0 = time.perf_counter()
         run_system(sw0, len(scans4))

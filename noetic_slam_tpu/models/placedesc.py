@@ -109,11 +109,15 @@ def match_store_batch(queries: Array, store: Array, count: Array,
                       exclude_froms: Array):
     """Batched ``match_store``: score B queries against the store in ONE
     dispatch (vmap over the per-query rolled-einsum — batches cleanly on
-    the MXU). Per-query device calls cost a relay round trip each; at
+    the MXU). Returns ONE packed (B, 3) f32 array [node, score, shift]
+    (node/shift are small ints, exact in f32) so the host needs a single
+    fetch; per-query device calls cost a relay round trip each and at
     keyframe rate over a km run that dominated the descriptor path."""
-    return jax.vmap(
+    node, score, shift = jax.vmap(
         lambda q, e: _match_store_impl(q, store, count, e))(
             queries, exclude_froms)
+    return jnp.stack([node.astype(jnp.float32), score,
+                      shift.astype(jnp.float32)], axis=-1)
 
 
 class DescriptorStore:
@@ -151,7 +155,13 @@ class DescriptorStore:
             self._dev = jnp.asarray(self._host)
             self._pending = []
         elif self._pending:
+            # power-of-two row-count bucket (pad by repeating the last
+            # index — .set is idempotent) so the scatter executable
+            # compiles once per bucket, not once per pending count
             idx = np.asarray(sorted(set(self._pending)), np.int32)
+            m = 1 << (len(idx) - 1).bit_length()
+            idx = np.concatenate(
+                [idx, np.full((m - len(idx),), idx[-1], np.int32)])
             self._dev = self._dev.at[jnp.asarray(idx)].set(
                 jnp.asarray(self._host[idx]))
             self._pending = []
@@ -176,20 +186,31 @@ class DescriptorStore:
         """Match the stored descriptors of ``node_ids`` against the full
         history in ONE dispatch + ONE fetch. Returns host arrays
         (cands, scores, shifts), one row per query; queries whose
-        exclude_from <= 0 return cand -1."""
-        if not len(node_ids) or self.count == 0:
-            return (np.full(len(node_ids), -1, np.int64),
-                    np.zeros(len(node_ids), np.float32),
-                    np.zeros(len(node_ids), np.int64))
+        exclude_from <= 0 return cand -1.
+
+        The batch is padded to a power-of-two bucket (padding rows query
+        with exclude_from 0 — never eligible) so only log2(max-batch)
+        program variants ever compile; an unpadded design recompiled
+        match_store_batch on nearly every call (~4 s each on TPU —
+        dominated the r4 whole-system profile)."""
+        B = len(node_ids)
+        if B == 0 or self.count == 0:
+            return (np.full(B, -1, np.int64), np.zeros(B, np.float32),
+                    np.zeros(B, np.int64))
         self._sync_dev()
-        ids = np.asarray(node_ids, np.int64)
-        exc = np.asarray(exclude_froms, np.int64)
-        cands, scores, shifts = jax.device_get(match_store_batch(
+        m = 1 << (B - 1).bit_length()
+        ids = np.zeros((m,), np.int64)
+        ids[:B] = np.asarray(node_ids, np.int64)
+        exc = np.zeros((m,), np.int64)
+        exc[:B] = np.asarray(exclude_froms, np.int64)
+        packed = np.asarray(jax.device_get(match_store_batch(
             jnp.asarray(self._host[ids]), self._dev,
             jnp.int32(self.count), jnp.asarray(np.maximum(exc, 0),
-                                               np.int32)))
-        cands = np.where(exc > 0, np.asarray(cands), -1)
-        return cands, np.asarray(scores), np.asarray(shifts)
+                                               np.int32))))
+        cands = np.where(exc[:B] > 0,
+                         packed[:B, 0].astype(np.int64), -1)
+        return (cands, packed[:B, 1].astype(np.float32),
+                packed[:B, 2].astype(np.int64))
 
     # ------------------------------------------------------- persistence
     def pack(self) -> dict:

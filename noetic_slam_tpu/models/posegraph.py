@@ -422,7 +422,13 @@ def optimize(g: PoseGraph, iters: int = 10, k_static: int | None = None,
     are near-chains: condition after block-Jacobi is mild and ~100 CG
     iterations reach solver noise; parity pinned in
     tests/test_posegraph.py::test_cg_matches_dense). "auto" switches to CG
-    above 192 nodes."""
+    above 192 nodes.
+
+    ``k_static``: solve over the first k_static node slots only (must be
+    >= n_nodes; every edge must reference nodes < k_static). Lets a
+    grown-capacity graph with few live nodes run a SMALL dense solve
+    instead of a capacity-sized system — SlamSystem picks the solver and
+    bucket by the live node count."""
     K = g.node_q.shape[0] if k_static is None else k_static
     if method == "auto":
         method = "cg" if K > 192 else "dense"
@@ -442,10 +448,13 @@ def optimize(g: PoseGraph, iters: int = 10, k_static: int | None = None,
             dx = _pcg(matvec, -b, apply_prec, cg_iters)
         dw, dv = dx[:, :3], dx[:, 3:]
         ok = (jnp.arange(K) < g.n_nodes)[:, None]
-        q = quat_normalize(quat_mul(so3_exp_quat(jnp.where(ok, dw, 0.0)),
-                                    g.node_q))
-        p = g.node_p + jnp.where(ok, dv, 0.0)
-        return g._replace(node_q=q, node_p=p)
+        q_head = quat_normalize(quat_mul(
+            so3_exp_quat(jnp.where(ok, dw, 0.0)), g.node_q[:K]))
+        p_head = g.node_p[:K] + jnp.where(ok, dv, 0.0)
+        if K == g.node_q.shape[0]:
+            return g._replace(node_q=q_head, node_p=p_head)
+        return g._replace(node_q=g.node_q.at[:K].set(q_head),
+                          node_p=g.node_p.at[:K].set(p_head))
 
     return jax.lax.fori_loop(0, iters, gn_step, g)
 

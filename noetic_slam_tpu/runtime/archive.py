@@ -349,27 +349,60 @@ class KeyframeArchive:
         self._p[rows_m] = npos[moved_m]
         return int(len(rows_m))
 
+    # Fixed fuse bucket sizes (entries per dispatch). The Mosaic/Pallas
+    # payload kernel inside _fuse_scan costs seconds to compile; an
+    # arbitrary power-of-two padding scheme compiled a fresh variant per
+    # closure size (measured 25 s on the first km-scale closure). Three
+    # fixed buckets cap the compile count at 3 per backend — warm-up can
+    # pre-compile all of them (warmup()) — and large move sets decompose
+    # into repeated largest-bucket dispatches plus a tail.
+    _BUCKETS = (2 * _CHUNK_KF, 16 * _CHUNK_KF, 64 * _CHUNK_KF)
+
     def _dispatch_fuse(self, rows: np.ndarray, qs: np.ndarray,
                        ps: np.ndarray, signs: np.ndarray) -> None:
-        """Pad the fuse batch to a power-of-two chunk count and run the
-        single-scan program (at most log2(max-batch) compiled variants)."""
+        """Run the fuse program over the batch in fixed-size bucket
+        dispatches (largest bucket repeatedly, then one tail bucket)."""
         B = len(rows)
-        nch = max(1, -(-B // _CHUNK_KF))
-        nch = 1 << (nch - 1).bit_length()
-        m = nch * _CHUNK_KF
-        pad = m - B
-        if pad:
-            rows = np.concatenate([rows, np.zeros((pad,), rows.dtype)])
-            qs = np.concatenate(
-                [qs, np.tile(np.asarray([1, 0, 0, 0], np.float32),
-                             (pad, 1))])
-            ps = np.concatenate([ps, np.zeros((pad, 3), np.float32)])
-            signs = np.concatenate([signs, np.zeros((pad,), np.float32)])
-        self.volume = _fuse_scan(
-            self.cfg, self.volume, jnp.asarray(self._xyz[rows]),
-            jnp.asarray(self._scale[rows]), jnp.asarray(self._valid[rows]),
-            jnp.asarray(qs), jnp.asarray(ps), jnp.asarray(signs),
-            backend=self.backend)
+        big = self._BUCKETS[-1]
+        off = 0
+        while off < B:
+            take = min(B - off, big)
+            m = next(b for b in self._BUCKETS if b >= take)
+            sl = slice(off, off + take)
+            pad = m - take
+            r, q, p, s = rows[sl], qs[sl], ps[sl], signs[sl]
+            if pad:
+                r = np.concatenate([r, np.zeros((pad,), rows.dtype)])
+                q = np.concatenate(
+                    [q, np.tile(np.asarray([1, 0, 0, 0], np.float32),
+                                (pad, 1))])
+                p = np.concatenate([p, np.zeros((pad, 3), np.float32)])
+                s = np.concatenate([s, np.zeros((pad,), np.float32)])
+            self.volume = _fuse_scan(
+                self.cfg, self.volume, jnp.asarray(self._xyz[r]),
+                jnp.asarray(self._scale[r]), jnp.asarray(self._valid[r]),
+                jnp.asarray(q), jnp.asarray(p), jnp.asarray(s),
+                backend=self.backend)
+            off += take
+
+    def warmup(self, n_pts: int | None = None) -> None:
+        """Pre-compile every fuse bucket with sign=0 no-op entries (zero
+        weights map all samples to the drop key: the volume is untouched).
+        A real-time run pays the Mosaic compile cost up front instead of
+        inside the first closure. ``n_pts`` (points per keyframe cloud,
+        e.g. capacity.max_ds_points) is required before the first add."""
+        n = self._xyz.shape[1] or n_pts
+        if not n:
+            return
+        ident = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                         (self._BUCKETS[-1], 1))
+        zeros3 = jnp.zeros((self._BUCKETS[-1], 3), jnp.float32)
+        for b in self._BUCKETS:
+            self.volume = _fuse_scan(
+                self.cfg, self.volume, jnp.zeros((b, n, 3), jnp.int16),
+                jnp.full((b,), 1e-4, jnp.float32),
+                jnp.zeros((b, n), bool), ident[:b], zeros3[:b],
+                jnp.zeros((b,), jnp.float32), backend=self.backend)
 
     # ------------------------------------------------------------ outputs
     def snapshot_live(self):

@@ -28,11 +28,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from noetic_slam_tpu.config.params import DlioConfig
 from noetic_slam_tpu.models import posegraph as pg
 from noetic_slam_tpu.models import tsdf as tsdf_mod
 from noetic_slam_tpu.runtime.pipeline import OdometryPipeline
-from noetic_slam_tpu.utils.geometry import quat_mul, quat_normalize, quat_rotate
+from noetic_slam_tpu.utils.geometry import (
+    make_se3,
+    quat_conj,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+)
+
+_add_edge_jit = jax.jit(pg.add_edge)
+
+
+@jax.jit
+def _deform_state(st, new_q, new_p):
+    """Apply optimized per-slot keyframe poses to the odometry state in ONE
+    jitted dispatch: rigid cloud/covariance deformation
+    (pg.apply_pose_update) + the live-pose correction by the NEWEST
+    keyframe's pose delta + submap invalidation. The previous eager form
+    issued ~15 separate device ops, each a relay round trip at closure
+    time.
+
+    NEWEST = max insertion sequence, NOT slot kf_count-1: once the store
+    saturates and evicts, slot order stops being age order (the r3
+    mid-run multi-meter frame-jump bug)."""
+    q, p, xyz, cov = pg.apply_pose_update(
+        st.kf_quat, st.kf_pos, st.kf_xyz, st.kf_valid, st.kf_cov,
+        new_q, new_p, st.kf_count)
+    last = jnp.argmax(st.kf_seq)
+    dq = quat_normalize(quat_mul(q[last], quat_conj(st.kf_quat[last])))
+    dp = p[last] - quat_rotate(dq, st.kf_pos[last])
+    lidar_p = quat_rotate(dq, st.lidar_p) + dp
+    lidar_q = quat_normalize(quat_mul(dq, st.lidar_q))
+    return st._replace(
+        kf_quat=q, kf_pos=p, kf_xyz=xyz, kf_cov=cov,
+        lidar_q=lidar_q, lidar_p=lidar_p,
+        q=quat_normalize(quat_mul(dq, st.q)),
+        p=quat_rotate(dq, st.p) + dp,
+        v=quat_rotate(dq, st.v), prev_vel=quat_rotate(dq, st.prev_vel),
+        T=make_se3(lidar_q, lidar_p),
+        submap_mask=jnp.zeros_like(st.submap_mask))
 
 
 class SlamSystem:
@@ -120,6 +160,86 @@ class SlamSystem:
         self._edges_host = 0     # host mirror of graph.n_edges (re-seeded
                                  # from the device every sync_graph fetch)
         self.loop_closures = 0
+
+    # -------------------------------------------------------------- warmup
+    def warmup(self) -> None:
+        """Pre-compile the closure-stack programs on dummy no-op inputs:
+        archive fuse buckets (Mosaic kernels — seconds each), descriptor
+        match buckets, GICP loop verification (both guess variants), the
+        pose-graph optimizer at current capacity, and the keyframe-store
+        deformation. A real-time run pays these compiles up front instead
+        of inside the first loop closure (the r4 on-chip profile measured
+        ~60 s of closure-path compiles landing mid-run; steady-state cost
+        after warmup is milliseconds). Optional — every program also
+        compiles lazily on first use."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        cap = self.cfg.capacity
+        if self.archive is not None:
+            self.archive.warmup(cap.max_ds_points)
+        if self.desc_store is not None:
+            from noetic_slam_tpu.models.placedesc import (N_RINGS, N_SECTORS,
+                                                          match_store_batch)
+
+            self.desc_store._sync_dev()
+            for m in (4, 8, 16, 32, 64):
+                jax.block_until_ready(match_store_batch(
+                    jnp.zeros((m, N_RINGS, N_SECTORS)),
+                    self.desc_store._dev, jnp.int32(0),
+                    jnp.zeros((m,), jnp.int32)))
+        if self.enable_loop_closure:
+            Nk = cap.max_ds_points
+            z3 = jnp.zeros((Nk, 3))
+            zv = jnp.zeros((Nk,), bool)
+            z6 = jnp.zeros((Nk, 6))
+            vcfg = dataclasses.replace(
+                self.cfg.gicp,
+                max_iterations=max(self.cfg.gicp.max_iterations, 32),
+                lm_max_iterations=max(self.cfg.gicp.lm_max_iterations, 10))
+            mcd = 2.0 * self.cfg.gicp.max_corr_dist
+            jax.block_until_ready(
+                pg.verify_loop(z3, zv, z6, z3, z6, vcfg,
+                               max_corr_dist=mcd))
+            jax.block_until_ready(
+                pg.verify_loop(z3, zv, z6, z3, z6, vcfg, max_corr_dist=mcd,
+                               guess=jnp.eye(4)))
+            # archived-candidate covariance path (_candidate_data): the
+            # per-scan pipeline may run the radius engine, leaving
+            # plane_covariances uncompiled until the first evicted-
+            # candidate closure
+            from noetic_slam_tpu.ops import gicp as gicp_ops
+
+            jax.block_until_ready(gicp_ops.plane_covariances(
+                z3, zv, self.cfg.gicp.k_correspondences)[0])
+            # optimizer variants the closure path selects by live node
+            # count (dense buckets + the large-graph CG): a zero-node
+            # graph's update is fully masked, so running them leaves the
+            # graph unchanged
+            for ks in (64, 128, 256):
+                if ks <= self.graph.node_q.shape[0]:
+                    self.graph = pg.optimize(self.graph, iters=10,
+                                             method="dense", k_static=ks)
+            self.graph = pg.optimize(self.graph, iters=10, method="cg")
+            # full-state deformation program on a throwaway state
+            from noetic_slam_tpu.models.odometry import init_state
+
+            dummy = init_state(self.cfg)
+            jax.block_until_ready(jax.tree.leaves(_deform_state(
+                dummy, dummy.kf_quat, dummy.kf_pos))[0])
+            del dummy
+            # edge append (result discarded — add_edge is pure; the call
+            # signature must match the closure path's exactly so the trace
+            # is shared)
+            jax.block_until_ready(_add_edge_jit(
+                self.graph, jnp.int32(0), jnp.int32(0),
+                jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                jnp.zeros(3, jnp.float32), w_rot=jnp.float32(2.0),
+                w_trans=jnp.float32(2.0)).n_edges)
+        if self.archive is not None:
+            jax.block_until_ready(jax.tree.leaves(
+                self.archive.snapshot_live())[0])
 
     # ------------------------------------------------------------ per scan
     def push_imu(self, stamp, ang, acc):
@@ -239,20 +359,21 @@ class SlamSystem:
                        or self.desc_store is not None)
         if need_clouds:
             with self.stages("sync_clouds"):
+                # validity never ships: cloud stores hold invalid rows at
+                # the 1e6 SENTINEL (transform_cloud/voxel_downsample), so
+                # one xyz gather per source is the whole fetch.
                 from_ob = np.asarray([ob for _, ob, _ in recs])
                 ob_sel = jnp.asarray(
                     [i if ob else 0 for _, ob, i in recs])
-                if from_ob.all():     # common case: one pair of gathers
-                    xyz_new, valid_new = jax.device_get(
-                        (st.ob_xyz[ob_sel], st.ob_valid[ob_sel]))
+                if from_ob.all():     # common case: ONE gather + fetch
+                    xyz_new = jax.device_get(st.ob_xyz[ob_sel])
                 else:
                     kf_sel = jnp.asarray(
                         [0 if ob else i for _, ob, i in recs])
-                    oxyz, oval, kxyz, kval = jax.device_get(
-                        (st.ob_xyz[ob_sel], st.ob_valid[ob_sel],
-                         st.kf_xyz[kf_sel], st.kf_valid[kf_sel]))
+                    oxyz, kxyz = jax.device_get(
+                        (st.ob_xyz[ob_sel], st.kf_xyz[kf_sel]))
                     xyz_new = np.where(from_ob[:, None, None], oxyz, kxyz)
-                    valid_new = np.where(from_ob[:, None], oval, kval)
+                valid_new = np.all(np.abs(xyz_new) < 1e5, axis=-1)
 
         # ONE jitted dispatch appends every new node + chain edge (the
         # eager per-keyframe add_node/add_edge path cost ~170 ms/keyframe
@@ -491,15 +612,20 @@ class SlamSystem:
             self.loop_rejected_budget += 1
             return False
 
-        dq, dp = pg.relative_pose(
-            jnp.asarray(cand_q), jnp.asarray(cand_p),
-            jnp.asarray(q_fix), jnp.asarray(p_fix))
+        # Host-numpy relative measurement (quaternion sign is irrelevant:
+        # so3_log_quat canonicalizes the hemisphere) + ONE jitted edge
+        # append — the eager relative_pose/add_edge pair cost ~15 relay
+        # round trips at closure rate.
+        T_rel = np.linalg.inv(make_se3_np(cand_q, cand_p)) @ T_fix
+        dq = jnp.asarray(mat_to_quat_np(T_rel[:3, :3]), jnp.float32)
+        dp = jnp.asarray(T_rel[:3, 3], jnp.float32)
         if self._edges_host + 1 > self.graph.edge_i.shape[0]:
             self.graph = pg.grow(self.graph,
                                  max_edges=2 * self.graph.edge_i.shape[0])
-        self.graph = pg.add_edge(self.graph, jnp.int32(cand_node),
-                                 jnp.int32(cur_node), dq, dp,
-                                 w_rot=2.0, w_trans=2.0)
+        self.graph = _add_edge_jit(self.graph, jnp.int32(cand_node),
+                                   jnp.int32(cur_node), dq, dp,
+                                   w_rot=jnp.float32(2.0),
+                                   w_trans=jnp.float32(2.0))
         self._edges_host += 1
 
         # Optimize and deform the map.
@@ -507,7 +633,19 @@ class SlamSystem:
 
         t0 = _time.perf_counter()
         with self.stages("closure_optimize"):
-            self.graph = pg.optimize(self.graph, iters=10)
+            # Solver by ACTUAL node count (host mirror), not array
+            # capacity: a freshly-grown 4096-capacity graph with 200 live
+            # nodes would otherwise run the 100-iteration CG chain where
+            # one small dense solve is faster. k_static rounds to a
+            # power-of-two bucket so at most log2 variants compile.
+            n_live = max(self._synced_total, 1)
+            if n_live <= 192:
+                ks = max(64, 1 << (n_live - 1).bit_length())
+                ks = min(ks, self.graph.node_q.shape[0])
+                self.graph = pg.optimize(self.graph, iters=10,
+                                         method="dense", k_static=ks)
+            else:
+                self.graph = pg.optimize(self.graph, iters=10, method="cg")
         moved = self._apply_graph_to_state()
         if self.enable_tsdf and self.odometry.tsdf_state is not None:
             jax.block_until_ready(jax.tree.leaves(self.odometry.tsdf_state)[0])
@@ -524,24 +662,23 @@ class SlamSystem:
     def _apply_graph_to_state(self) -> int:
         """Write optimized keyframe poses back into the odometry state:
         re-transform keyframe clouds/covs, update the live pose by the last
-        keyframe's correction, force a submap rebuild. Returns the number
-        of archived keyframes incrementally re-fused (0 without archive)."""
+        keyframe's correction, force a submap rebuild — one jitted dispatch
+        (_deform_state). Returns the number of archived keyframes
+        incrementally re-fused (0 without archive)."""
         st = self.odometry.state
         g = self.graph
-        old_q, old_p = st.kf_quat, st.kf_pos
 
         # Per-SLOT optimized poses: resident slots take their graph node's
-        # pose; unmapped slots keep their current pose. ONE fetch.
-        node_q, node_p, new_q, new_p = jax.device_get(
-            (g.node_q, g.node_p, st.kf_quat, st.kf_pos))
+        # pose; unmapped slots keep their current pose. ONE fetch (it also
+        # forces the just-dispatched optimize to execute — staged so the
+        # soak table attributes the solver's real cost).
+        with self.stages("closure_fetch_poses"):
+            node_q, node_p, new_q, new_p = jax.device_get(
+                (g.node_q, g.node_p, st.kf_quat, st.kf_pos))
         new_q, new_p = np.array(new_q), np.array(new_p)
         for slot, node in self._slot_node.items():
             new_q[slot] = node_q[node]
             new_p[slot] = node_p[node]
-
-        q, p, xyz, cov = pg.apply_pose_update(
-            st.kf_quat, st.kf_pos, st.kf_xyz, st.kf_valid, st.kf_cov,
-            jnp.asarray(new_q), jnp.asarray(new_p), st.kf_count)
 
         # The odometry-edge chain measures from the newest keyframe's pose;
         # keep it at the optimized value.
@@ -551,32 +688,9 @@ class SlamSystem:
             self._last_kf_pose = (new_q[last_slot].copy(),
                                   new_p[last_slot].copy())
 
-        from noetic_slam_tpu.utils.geometry import quat_conj
-
-        # Correction of the most recent keyframe (dq = q_new * conj(q_old)),
-        # applied to the live pose. NEWEST = max insertion sequence, NOT
-        # slot kf_count-1: once the store saturates and evicts, slot order
-        # stops being age order and slot K-1 holds an arbitrary keyframe —
-        # the live pose would inherit some OLD keyframe's loop correction
-        # (observed in the r3 soak as a multi-meter mid-run frame jump
-        # once per-batch syncing gave every resident slot a graph node).
-        last = jnp.argmax(st.kf_seq)
-        dq = quat_normalize(quat_mul(q[last], quat_conj(old_q[last])))
-        dp = p[last] - quat_rotate(dq, old_p[last])
-        lidar_p = quat_rotate(dq, st.lidar_p) + dp
-        lidar_q = quat_normalize(quat_mul(dq, st.lidar_q))
-        new_p = quat_rotate(dq, st.p) + dp
-        new_q = quat_normalize(quat_mul(dq, st.q))
-        new_v = quat_rotate(dq, st.v)
-
-        from noetic_slam_tpu.utils.geometry import make_se3
-
-        self.odometry.state = st._replace(
-            kf_quat=q, kf_pos=p, kf_xyz=xyz, kf_cov=cov,
-            lidar_q=lidar_q, lidar_p=lidar_p,
-            q=new_q, p=new_p, v=new_v, prev_vel=quat_rotate(dq, st.prev_vel),
-            T=make_se3(lidar_q, lidar_p),
-            submap_mask=jnp.zeros_like(st.submap_mask))
+        with self.stages("closure_deform"):
+            self.odometry.state = _deform_state(
+                st, jnp.asarray(new_q), jnp.asarray(new_p))
 
         # Dense-map consistency: the volume was fused at pre-closure poses.
         moved = 0

@@ -175,6 +175,14 @@ def main():
     print(f"scan gen: {time.perf_counter() - t_gen:.1f} s", file=sys.stderr)
     n_scans = len(scans)
 
+    t_warm = time.perf_counter()
+    slam.warmup()        # closure-stack compiles up front (not mid-run)
+    warmup_s = time.perf_counter() - t_warm
+    print(f"warmup: {warmup_s:.1f} s", file=sys.stderr)
+    from noetic_slam_tpu.runtime.profiling import StageTimer
+
+    slam.stages = StageTimer()     # stage table = post-warmup steady state
+
     t_start = time.perf_counter()
     done = 0
     while done < n_scans:
@@ -314,6 +322,7 @@ def main():
         "backend": jax.default_backend(),
         "scans": n_scans,
         "wall_seconds": round(wall, 1),
+        "warmup_seconds": round(warmup_s, 1),
         "scans_per_sec_overall": round(n_scans / wall, 2),
         "windows": windows,
         "sustained_no_degradation": bool(
