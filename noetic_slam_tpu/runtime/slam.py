@@ -85,7 +85,7 @@ class SlamSystem:
                  archive_eps_t: float | None = None,
                  archive_eps_r: float | None = None,
                  use_descriptors: bool = True,
-                 desc_min_score: float = 0.65):
+                 desc_min_score: float = 0.55):
         self.cfg = cfg or DlioConfig()
         self.odometry = OdometryPipeline(self.cfg, with_tsdf=enable_tsdf)
         self.enable_tsdf = enable_tsdf
@@ -126,6 +126,11 @@ class SlamSystem:
         # estimate already near the truth) and resident-store eviction.
         # Verified candidates go through the same GICP + observability +
         # drift-budget gates as proximity candidates.
+        # desc_min_score = 0.55 calibrated on the km-scale drifted soak
+        # (SOAK_r04_km descriptor_score_roc: recall 0.98 / precision 1.0
+        # at 0.55 over 2,633 queries; 0.65 cost recall 0.884 for no
+        # precision gain — thresholds above 0.6 only discard true
+        # revisits on this class of scenes).
         self.desc_store = None
         if enable_loop_closure and use_descriptors:
             from noetic_slam_tpu.models.placedesc import DescriptorStore
@@ -214,14 +219,15 @@ class SlamSystem:
             jax.block_until_ready(gicp_ops.plane_covariances(
                 z3, zv, self.cfg.gicp.k_correspondences)[0])
             # optimizer variants the closure path selects by live node
-            # count (dense buckets + the large-graph CG): a zero-node
-            # graph's update is fully masked, so running them leaves the
-            # graph unchanged
+            # count (dense buckets + the large-graph CG) at the
+            # steady-state iteration budget: a zero-node graph's update is
+            # fully masked, so running them leaves the graph unchanged
             for ks in (64, 128, 256):
                 if ks <= self.graph.node_q.shape[0]:
-                    self.graph = pg.optimize(self.graph, iters=10,
+                    self.graph = pg.optimize(self.graph, iters=3,
                                              method="dense", k_static=ks)
-            self.graph = pg.optimize(self.graph, iters=10, method="cg")
+            self.graph = pg.optimize(self.graph, iters=3, method="cg",
+                                     cg_iters=60)
             # full-state deformation program on a throwaway state
             from noetic_slam_tpu.models.odometry import init_state
 
@@ -345,13 +351,24 @@ class SlamSystem:
         # the whole (unbounded) run.
         cap_n = self.graph.node_q.shape[0]
         cap_e = self.graph.edge_i.shape[0]
+        grew = False
         need_n, need_e = node + count, n_edges + count + 4
         while cap_n < need_n:
             cap_n *= 2
+            grew = True
         while cap_e < need_e:
             cap_e *= 2
+            grew = True
         self.graph = pg.grow(self.graph, max_nodes=cap_n, max_edges=cap_e)
         self.max_graph_nodes = cap_n
+        if grew and self.enable_loop_closure and node > 192:
+            # Pre-compile the CG solver at the NEW capacity here (result
+            # discarded — optimize is pure) so the recompile lands at
+            # growth time instead of inside the next closure: solver
+            # recompiles were the km soak's only closure-latency outliers
+            # (~5 s spikes against a 0.15-0.5 s steady state).
+            with self.stages("growth_warm"):
+                pg.optimize(self.graph, iters=3, method="cg", cg_iters=60)
 
         # ONE batched fetch of the new keyframes' clouds for the archive +
         # descriptors.
@@ -442,7 +459,43 @@ class SlamSystem:
             return False            # not synced into the graph (yet)
         cur_node = self._slot_node[cur]
 
-        # --- 1) proximity candidate (resident store) ---
+        # --- 1) descriptor query drain (full history, every keyframe) ---
+        # EVERY not-yet-queried keyframe gets one descriptor query — in a
+        # single batched dispatch (models/placedesc.match_store_batch), so
+        # query cadence is no longer a host-round-trip tradeoff (the r3
+        # design capped queries at the newest ~4 keyframes per attempt and
+        # the km soak's drift reached 2.2 m before the lone descriptor
+        # closure fired). The drain runs BEFORE the proximity attempt: a
+        # healthy run closes most loops by proximity and an early return
+        # would starve the descriptor match history — exactly the signal
+        # needed when drift eventually breaks proximity (and the
+        # recall/precision telemetry the soak calibrates thresholds on).
+        matched = []
+        if self.desc_store is not None:
+            start = self._last_desc_query_node + 1
+            end = min(cur_node, self.desc_store.count - 1)
+            if end >= start:
+                nodes_q = np.arange(start, end + 1)
+                with self.stages("desc_query"):
+                    cands, scores, shifts = self.desc_store.query_batch(
+                        nodes_q, nodes_q - self.loop_min_gap)
+                self._last_desc_query_node = int(end)
+                # Record the full match history FIRST (temporal-consistency
+                # seeds must not be lost when an earlier query closes).
+                for k, n in enumerate(nodes_q):
+                    n, cand = int(n), int(cands[k])
+                    score, shift = float(scores[k]), int(shifts[k])
+                    self.desc_log.append({"node": n, "cand": cand,
+                                          "score": round(score, 4)})
+                    if cand < 0 or score < self.desc_min_score:
+                        continue
+                    prev = self._desc_match_hist.get(n - 1)
+                    self._desc_match_hist[n] = (cand, shift)
+                    if prev is None or abs(cand - prev[0]) > 5:
+                        continue    # not yet temporally consistent
+                    matched.append((n, cand, shift))
+
+        # --- 2) proximity candidate (resident store) ---
         cand, prox_ok = pg.detect_loop_candidate_np(
             kf_p_h, seq, kh["count"], cur, self.loop_radius,
             self.loop_min_gap)
@@ -454,43 +507,11 @@ class SlamSystem:
                         kh["q"][cand], kf_p_h[cand]):
                     return True
 
-        # --- 2) descriptor candidates (full history) ---
-        # EVERY not-yet-queried keyframe gets one descriptor query — in a
-        # single batched dispatch (models/placedesc.match_store_batch), so
-        # query cadence is no longer a host-round-trip tradeoff (the r3
-        # design capped queries at the newest ~4 keyframes per attempt and
-        # the km soak's drift reached 2.2 m before the lone descriptor
-        # closure fired). A closure is attempted only when TWO CONSECUTIVE
-        # keyframes match the same historical place (temporal consistency —
-        # a single-frame match in self-similar environments is how aliases
-        # slip through: observed in the tiny-soak room, where a first-lap
-        # alias closure passed every local gate and tripled the ATE).
-        if self.desc_store is None:
-            return False
-        start = self._last_desc_query_node + 1
-        end = min(cur_node, self.desc_store.count - 1)
-        if end < start:
-            return False
-        nodes_q = np.arange(start, end + 1)
-        with self.stages("desc_query"):
-            cands, scores, shifts = self.desc_store.query_batch(
-                nodes_q, nodes_q - self.loop_min_gap)
-        self._last_desc_query_node = int(end)
-        # Record the full match history FIRST (temporal-consistency seeds
-        # must not be lost when an earlier query in the batch closes).
-        matched = []
-        for k, n in enumerate(nodes_q):
-            n, cand = int(n), int(cands[k])
-            score, shift = float(scores[k]), int(shifts[k])
-            self.desc_log.append({"node": n, "cand": cand,
-                                  "score": round(score, 4)})
-            if cand < 0 or score < self.desc_min_score:
-                continue
-            prev = self._desc_match_hist.get(n - 1)
-            self._desc_match_hist[n] = (cand, shift)
-            if prev is None or abs(cand - prev[0]) > 5:
-                continue            # not yet temporally consistent
-            matched.append((n, cand, shift))
+        # --- 3) descriptor candidate attempts (two consecutive keyframes
+        # matching the same historical place — a single-frame match in
+        # self-similar environments is how aliases slip through: observed
+        # in the tiny-soak room, where a first-lap alias closure passed
+        # every local gate and tripled the ATE) ---
         for n, cand, shift in matched:
             slot = self._node_slot.get(n)
             if slot is None:
@@ -638,14 +659,21 @@ class SlamSystem:
             # nodes would otherwise run the 100-iteration CG chain where
             # one small dense solve is faster. k_static rounds to a
             # power-of-two bucket so at most log2 variants compile.
+            # Iteration budget by correction size: Gauss-Newton converges
+            # quadratically, and the steady-state km regime corrects
+            # 1-8 cm per closure (SOAK_r04_km) — 3 GN steps reach solver
+            # noise there; the full budget is reserved for large
+            # (topological) corrections.
             n_live = max(self._synced_total, 1)
+            gn = 10 if correction > 0.5 else 3
             if n_live <= 192:
                 ks = max(64, 1 << (n_live - 1).bit_length())
                 ks = min(ks, self.graph.node_q.shape[0])
-                self.graph = pg.optimize(self.graph, iters=10,
+                self.graph = pg.optimize(self.graph, iters=gn,
                                          method="dense", k_static=ks)
             else:
-                self.graph = pg.optimize(self.graph, iters=10, method="cg")
+                self.graph = pg.optimize(self.graph, iters=gn, method="cg",
+                                         cg_iters=60)
         moved = self._apply_graph_to_state()
         if self.enable_tsdf and self.odometry.tsdf_state is not None:
             jax.block_until_ready(jax.tree.leaves(self.odometry.tsdf_state)[0])

@@ -127,19 +127,21 @@ def main():
 
     # Communication budget of the map-sharded registration alternative at
     # these shapes (the batch axis above has no collectives): the per-align
-    # all-gather/psum bytes the ICI must carry per device — the quantity
-    # the >= 70% target has to absorb (formula pinned vs compiled HLO in
-    # tests/test_parallel.py).
+    # all-REDUCE bytes the ICI must carry per device — FLAT in device
+    # count since the r4 (pmin, pmin, masked-psum) winner reduction
+    # (formula pinned vs compiled HLO in tests/test_parallel.py; the r3
+    # all-gather design grew 1.3/3.9/9.2 MB per align at D = 2/4/8).
     from noetic_slam_tpu.parallel.registration import (
         collective_traffic_per_align)
 
     for D in ladder[1:]:
         t = collective_traffic_per_align(cfg.gicp, cap.max_ds_points, D)
         print(json.dumps({"devices": D, "map_sharded_gicp": {
-            "per_relinearize_gather_recv_MB":
-                round(t["per_relinearize_gather_recv_bytes"] / 1e6, 3),
+            "per_relinearize_reduce_recv_MB":
+                round(t["per_relinearize_reduce_recv_bytes"] / 1e6, 3),
             "per_align_recv_MB_max":
-                round(t["per_align_recv_bytes_max"] / 1e6, 2)}}))
+                round(t["per_align_recv_bytes_max"] / 1e6, 2),
+            "flat_in_devices": t["flat_in_devices"]}}))
 
 
 if __name__ == "__main__":

@@ -89,7 +89,7 @@ def main():
     port = int(os.environ.get("ENDURANCE_PORT", "47921"))
     out_path = os.environ.get(
         "ENDURANCE_OUT", os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "ENDURANCE_r03.json"))
+            os.path.abspath(__file__))), "ENDURANCE_r04.json"))
 
     lib = native.load()
     if lib is None:

@@ -125,12 +125,13 @@ def main():
                           sim.imu_acc[imu_i])
             imu_i += 1
 
-    # Closure attempts every batch (the r3 cadence of 25 scans + 100-scan
-    # cooldown existed because closures cost 15-34 s each through the
-    # per-keyframe archive dispatches; with the batched archive they cost
-    # <~1 s, and attempting often catches drift while corrections are
-    # still small — the r3 km run let drift reach 2.2 m between closures).
-    closure_every = 10 if tiny else K
+    # Closure attempts every 2 batches (the r3 cadence of 25 scans +
+    # 100-scan cooldown existed because closures cost 15-34 s each through
+    # the per-keyframe archive dispatches; with the batched archive +
+    # warmup they cost <~1 s, and attempting often catches drift while
+    # corrections are still small — the r3 km run let drift reach 2.2 m
+    # between closures).
+    closure_every = 10 if tiny else 2 * K
     cooldown = 20 if tiny else 30
     ckpt_at = (n_scans * 3) // 5 // K * K
     cmp_scans = 2 * K                     # bitwise continuation window
@@ -325,8 +326,14 @@ def main():
         "warmup_seconds": round(warmup_s, 1),
         "scans_per_sec_overall": round(n_scans / wall, 2),
         "windows": windows,
+        # Degradation = the TREND, robust to single-window spikes (one
+        # window can absorb a multi-second solver recompile or a tunnel
+        # stall): median of the last 3 windows vs median of the best 3.
         "sustained_no_degradation": bool(
-            steady[-1] >= 0.7 * max(steady)) if steady else None,
+            float(np.median(steady[-3:]))
+            >= 0.7 * float(np.median(sorted(steady)[-3:])))
+        if len(steady) >= 3 else (bool(steady[-1] >= 0.7 * max(steady))
+                                  if steady else None),
         "kf_total": int(jax.device_get(st.kf_total)),
         "kf_resident_capacity": cfg.capacity.max_keyframes,
         "eviction_active": bool(int(jax.device_get(st.kf_total))
