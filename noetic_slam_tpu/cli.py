@@ -58,6 +58,13 @@ def cmd_slam(args) -> int:
     os.makedirs(args.out, exist_ok=True)
     slam = SlamSystem(cfg, enable_tsdf=not args.no_tsdf,
                       enable_loop_closure=not args.no_loop_closure)
+    if args.warmup:
+        # Pre-compile the closure stack so no Mosaic/solver compile lands
+        # mid-run (real-time operation; see SlamSystem.warmup docstring).
+        print("warmup: compiling closure stack...", file=sys.stderr)
+        t_w = time.perf_counter()
+        slam.warmup()
+        print(f"warmup: {time.perf_counter() - t_w:.1f} s", file=sys.stderr)
     metrics = SlamMetrics()
 
     t0 = time.perf_counter()
@@ -522,6 +529,9 @@ def main(argv=None) -> int:
     ps.add_argument("--mesh", action="store_true",
                     help="extract a surface-nets mesh from the TSDF")
     ps.add_argument("--no-loop-closure", action="store_true")
+    ps.add_argument("--warmup", action="store_true",
+                    help="pre-compile the closure stack before ingest "
+                         "(real-time runs: no compile lands mid-run)")
     ps.add_argument("--checkpoint", action="store_true")
     ps.add_argument("--esdf", action="store_true",
                     help="write a dense ESDF region around the final pose "

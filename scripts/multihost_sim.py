@@ -6,12 +6,16 @@ virtual CPU devices, forming an (N*K)-device GLOBAL mesh whose collectives
 must cross a real process boundary — the DCN stand-in. It then executes:
 
 1. the map-sharded odometry step (parallel.registration.sharded_gicp_align:
-   all-gathered NN candidates + psum'd normal equations) over a 1-D "map"
-   mesh spanning BOTH processes — every GICP collective crosses the
-   process boundary;
+   (pmin, pmin, masked-psum) NN winner reduction + psum'd normal
+   equations) over a 1-D "map" mesh spanning BOTH processes — every GICP
+   collective crosses the process boundary;
 2. the spatially-sharded TSDF integrate over the same mesh;
 3. a 2-D ("batch","map") mesh psum sanity check (batch rides the process
-   axis, as hosts/DCN would — parallel.mesh.make_mesh_2d convention).
+   axis, as hosts/DCN would — parallel.mesh.make_mesh_2d convention);
+4. the edge-sharded matrix-free PCG pose-graph solve
+   (parallel.bundle_adjustment.sharded_optimize, method="cg") on a
+   300-node graph, checked against the single-device CG result in every
+   process — the km-scale closure-stack solver across the DCN stand-in.
 
 Parent usage (spawns workers, checks their output):
     python scripts/multihost_sim.py            # 2 procs x 4 devices
@@ -113,8 +117,34 @@ def worker(args) -> int:
     s = float(psummed)
     assert s == n_dev * (n_dev - 1) / 2.0, s
 
+    # edge-sharded matrix-free CG solve across the process boundary,
+    # parity-checked against the single-device CG solver
+    from noetic_slam_tpu.models import posegraph as pg
+    from noetic_slam_tpu.parallel.bundle_adjustment import sharded_optimize
+
+    K, E = 300, (512 // n_dev) * n_dev
+    th = np.linspace(0, 2 * np.pi, K).astype(np.float32)
+    est_p = np.stack([12 * np.cos(th), 12 * np.sin(th), 0 * th],
+                     -1).astype(np.float32)
+    est_p += np.random.default_rng(9).normal(
+        scale=0.08, size=est_p.shape).astype(np.float32)
+    qs = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (K, 1))
+    g = pg.init_graph(K, E)
+    g = pg.add_nodes_chain(g, qs, est_p, K)
+    dq, dp = pg.relative_pose(
+        jnp.asarray(qs[0]), jnp.asarray(est_p[0]),
+        jnp.asarray(qs[K - 1]), jnp.asarray(est_p[K - 1]))
+    g = pg.add_edge(g, jnp.int32(0), jnp.int32(K - 1), dq, dp,
+                    w_rot=2.0, w_trans=2.0)
+    ref = pg.optimize(g, iters=3, method="cg", cg_iters=50)
+    got = sharded_optimize(mesh, g, iters=3, method="cg", cg_iters=50)
+    dp_max = float(jnp.max(jnp.linalg.norm(
+        got.node_p - ref.node_p, axis=-1)))
+    assert dp_max < 1e-3, dp_max
+
     print(json.dumps({"proc": args.worker, "ncorr": ncorr,
-                      "tsdf_blocks": blocks, "mesh2_sum": s}), flush=True)
+                      "tsdf_blocks": blocks, "mesh2_sum": s,
+                      "cg_parity_max_dp": round(dp_max, 6)}), flush=True)
     return 0
 
 

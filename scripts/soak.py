@@ -325,6 +325,12 @@ def main():
         "wall_seconds": round(wall, 1),
         "warmup_seconds": round(warmup_s, 1),
         "scans_per_sec_overall": round(n_scans / wall, 2),
+        # steady state = median window after the first (the first window
+        # absorbs the fused-step K-batch compile, ~40-60 s — warmup()
+        # covers the closure stack, not the scan program itself)
+        "scans_per_sec_steady": round(float(np.median(
+            [w["scans_per_sec"] for w in windows[1:]] or
+            [w["scans_per_sec"] for w in windows])), 2),
         "windows": windows,
         # Degradation = the TREND, robust to single-window spikes (one
         # window can absorb a multi-second solver recompile or a tunnel

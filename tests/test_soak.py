@@ -35,3 +35,8 @@ def test_soak_tiny_regression(tmp_path):
     assert data["archive_blocks_monotone"]
     assert data["archived_keyframes"] == data["graph_nodes"]
     assert data["ate_rmse_m"] < 0.5
+    # km-failure-mode CI twins (VERDICT r3 #9): keyframe hand-off lossless
+    # at the soak's sync cadence, and every keyframe ever created reached
+    # the graph (the outbox contract)
+    assert data["sync_lost_keyframes"] == 0
+    assert data["kf_total_minus_graph_nodes"] == 0
