@@ -778,7 +778,9 @@ class SlamSystem:
                               for k, v in self._slot_node.items()},
                 "synced_total": self._synced_total,
                 "loop_closures": self.loop_closures,
+                "loop_closures_descriptor": self.loop_closures_descriptor,
                 "loop_rejected_budget": self.loop_rejected_budget,
+                "sync_lost_keyframes": self.sync_lost_keyframes,
                 "last_kf_pose": (None if lkp is None else
                                  [np.asarray(lkp[0]).tolist(),
                                   np.asarray(lkp[1]).tolist()]),
@@ -799,7 +801,10 @@ class SlamSystem:
                            for k, v in s.get("slot_node", {}).items()}
         self._synced_total = int(s.get("synced_total", 0))
         self.loop_closures = int(s.get("loop_closures", 0))
+        self.loop_closures_descriptor = int(
+            s.get("loop_closures_descriptor", 0))
         self.loop_rejected_budget = int(s.get("loop_rejected_budget", 0))
+        self.sync_lost_keyframes = int(s.get("sync_lost_keyframes", 0))
         lkp = s.get("last_kf_pose")
         self._last_kf_pose = (None if lkp is None else
                               (np.asarray(lkp[0]), np.asarray(lkp[1])))

@@ -189,3 +189,45 @@ def test_tsdf_improves_after_loop_closure():
     med1, mean1 = surf_err()
     assert med1 < 0.75 * med0, f"median {med0:.3f} -> {med1:.3f}"
     assert mean1 < 0.75 * mean0, f"mean {mean0:.3f} -> {mean1:.3f}"
+
+
+@pytest.mark.slow
+def test_warmup_is_bitwise_noop():
+    """SlamSystem.warmup() pre-compiles the closure stack on no-op inputs;
+    it must leave every subsequent result BITWISE identical to a cold run
+    (the sign=0 archive fuses and masked solver passes touch nothing)."""
+    import jax
+
+    sim = synthetic.make_sim(duration=6.0, n_points=2048, calib_time=3.1,
+                             seed=9)
+    # sim.scan draws from a STATEFUL rng — pre-generate once so both runs
+    # see identical scans
+    scans = [sim.scan(s) for s in range(len(sim.scan_stamps))]
+
+    def run(warm):
+        slam = SlamSystem(sys_cfg(), enable_tsdf=True,
+                          enable_loop_closure=True, loop_min_gap=5)
+        if warm:
+            slam.warmup()
+        imu_i = 0
+        for s, (header, xyz, pt) in enumerate(scans):
+            while (imu_i < len(sim.imu_stamps)
+                   and sim.imu_stamps[imu_i] <= header + pt.max() + 0.02):
+                slam.push_imu(sim.imu_stamps[imu_i], sim.imu_ang[imu_i],
+                              sim.imu_acc[imu_i])
+                imu_i += 1
+            slam.process_scan(header, xyz, pt)
+            if s % 6 == 5:
+                slam.maybe_close_loop()
+        return (jax.device_get(slam.odometry.state),
+                jax.device_get(slam.graph),
+                jax.device_get(slam.tsdf))
+
+    st_a, g_a, t_a = run(warm=False)
+    st_b, g_b, t_b = run(warm=True)
+    for name, a, b in zip(st_a._fields, st_a, st_b):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"state.{name}"
+    for name, a, b in zip(g_a._fields, g_a, g_b):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"graph.{name}"
+    for name, a, b in zip(t_a._fields, t_a, t_b):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"tsdf.{name}"
