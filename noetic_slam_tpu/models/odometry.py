@@ -103,7 +103,8 @@ class OdomState(NamedTuple):
     ob_seq: Array       # (Q,) int32 — insertion sequence (kf_total at push)
     ob_slot: Array      # (Q,) int32 — resident store slot it was written to
     ob_xyz: Array       # (Q, Nk, 3) world-frame cloud at creation
-    ob_valid: Array     # (Q, Nk) bool
+                        # (invalid rows at the 1e6 SENTINEL — validity is
+                        # derived, not stored)
     # Submap target buffers (concat of selected keyframes).
     submap_xyz: Array   # (S, 3)
     submap_valid: Array # (S,)
@@ -255,7 +256,6 @@ def init_state(cfg: DlioConfig, q0=None, ba0=None, bg0=None) -> OdomState:
         ob_seq=jnp.zeros((cap.outbox_slots,), jnp.int32),
         ob_slot=jnp.zeros((cap.outbox_slots,), jnp.int32),
         ob_xyz=jnp.full((cap.outbox_slots, Nk, 3), SENTINEL, f32),
-        ob_valid=jnp.zeros((cap.outbox_slots, Nk), bool),
         submap_xyz=jnp.full((S, 3), SENTINEL, f32),
         submap_valid=jnp.zeros((S,), bool),
         submap_cov=jnp.zeros((S, 6), f32),
@@ -450,8 +450,6 @@ def push_keyframe(state: OdomState, cloud_xyz: Array, cloud_valid: Array,
             jnp.where(ok, i.astype(jnp.int32), state.ob_slot[o])),
         ob_xyz=state.ob_xyz.at[o].set(
             jnp.where(ok, cloud_xyz, state.ob_xyz[o])),
-        ob_valid=state.ob_valid.at[o].set(
-            jnp.where(ok, cloud_valid, state.ob_valid[o])),
         kf_pos=state.kf_pos.at[i].set(sel(state.lidar_p, state.kf_pos[i])),
         kf_quat=state.kf_quat.at[i].set(sel(state.lidar_q, state.kf_quat[i])),
         kf_xyz=state.kf_xyz.at[i].set(

@@ -169,7 +169,11 @@ def _add_chain(g: PoseGraph, qs, ps, count, prev_q, prev_p,
     src_q = jnp.concatenate([prev_q[None], qs[:-1]], axis=0)
     src_p = jnp.concatenate([prev_p[None], ps[:-1]], axis=0)
     dq, dp = relative_pose(src_q, src_p, qs, ps)
+    # Edge k is valid only if BOTH its endpoints exist: a node dropped at
+    # capacity must not leave a phantom chain edge referencing it (the
+    # OOB gather in optimize would clamp it into a bogus self-constraint).
     evalid = valid if have_prev else (valid & (ks > 0))
+    evalid = evalid & (start + ks < K)
     k0 = 0 if have_prev else 1
     eidx = jnp.where(evalid, g.n_edges + ks - k0, E)
     ones = jnp.ones((m,), jnp.float32)
@@ -189,7 +193,7 @@ def _add_chain(g: PoseGraph, qs, ps, count, prev_q, prev_p,
         edge_dp=g.edge_dp.at[eidx].set(dp, mode="drop"),
         edge_w_rot=g.edge_w_rot.at[eidx].set(ones, mode="drop"),
         edge_w_trans=g.edge_w_trans.at[eidx].set(ones, mode="drop"),
-        edge_valid=g.edge_valid.at[eidx].set(valid, mode="drop"),
+        edge_valid=g.edge_valid.at[eidx].set(evalid, mode="drop"),
         n_edges=jnp.minimum(g.n_edges + jnp.sum(evalid).astype(jnp.int32),
                             E))
 

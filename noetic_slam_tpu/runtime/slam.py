@@ -166,6 +166,48 @@ class SlamSystem:
                                  # from the device every sync_graph fetch)
         self.loop_closures = 0
 
+    # ------------------------------------------------- shared solver params
+    # ONE definition of the closure-stack program variants, used by BOTH
+    # the closure path and warmup() — a literal copy in warmup would
+    # silently desynchronize and the compile cost would return mid-run
+    # with no test failing.
+
+    def _verify_cfg(self):
+        """Verification GICP config: full solver budget (closure-candidate
+        rate is rare; a starved per-scan iteration budget must not decide
+        accept/reject at the convergence knife edge)."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self.cfg.gicp,
+            max_iterations=max(self.cfg.gicp.max_iterations, 32),
+            lm_max_iterations=max(self.cfg.gicp.lm_max_iterations, 10))
+
+    _DENSE_BUCKETS = (64, 128, 256)
+    _DENSE_MAX = 192          # live nodes above this take the CG path
+    _CG_ITERS = 60
+
+    def _solver_variant(self, n_live: int):
+        """(method, k_static|None) for the live node count: dense k_static
+        buckets up to _DENSE_MAX nodes, matrix-free CG beyond (a
+        grown-capacity graph with few nodes must not run the
+        capacity-sized CG chain)."""
+        if n_live <= self._DENSE_MAX:
+            ks = max(self._DENSE_BUCKETS[0],
+                     1 << (max(n_live, 1) - 1).bit_length())
+            return "dense", min(ks, self.graph.node_q.shape[0])
+        return "cg", None
+
+    def _optimize_graph(self, n_live: int) -> None:
+        """One solver pass (3 GN steps — Gauss-Newton converges
+        quadratically and the steady-state km regime corrects 1-8 cm per
+        closure, SOAK_r04_km; large corrections run several PASSES of the
+        same compiled program instead of a separate iters=10 variant that
+        would pay a fresh compile mid-run)."""
+        method, ks = self._solver_variant(n_live)
+        self.graph = pg.optimize(self.graph, iters=3, method=method,
+                                 k_static=ks, cg_iters=self._CG_ITERS)
+
     # -------------------------------------------------------------- warmup
     def warmup(self) -> None:
         """Pre-compile the closure-stack programs on dummy no-op inputs:
@@ -176,9 +218,10 @@ class SlamSystem:
         of inside the first loop closure (the r4 on-chip profile measured
         ~60 s of closure-path compiles landing mid-run; steady-state cost
         after warmup is milliseconds). Optional — every program also
-        compiles lazily on first use."""
-        import dataclasses
-
+        compiles lazily on first use. Safe at ANY point, including after
+        load() with live nodes: every warm call's result is discarded
+        (the programs are pure), pinned bitwise by
+        tests/test_slam_system.py::test_warmup_is_bitwise_noop."""
         import jax.numpy as jnp
 
         cap = self.cfg.capacity
@@ -199,10 +242,7 @@ class SlamSystem:
             z3 = jnp.zeros((Nk, 3))
             zv = jnp.zeros((Nk,), bool)
             z6 = jnp.zeros((Nk, 6))
-            vcfg = dataclasses.replace(
-                self.cfg.gicp,
-                max_iterations=max(self.cfg.gicp.max_iterations, 32),
-                lm_max_iterations=max(self.cfg.gicp.lm_max_iterations, 10))
+            vcfg = self._verify_cfg()
             mcd = 2.0 * self.cfg.gicp.max_corr_dist
             jax.block_until_ready(
                 pg.verify_loop(z3, zv, z6, z3, z6, vcfg,
@@ -219,15 +259,17 @@ class SlamSystem:
             jax.block_until_ready(gicp_ops.plane_covariances(
                 z3, zv, self.cfg.gicp.k_correspondences)[0])
             # optimizer variants the closure path selects by live node
-            # count (dense buckets + the large-graph CG) at the
-            # steady-state iteration budget: a zero-node graph's update is
-            # fully masked, so running them leaves the graph unchanged
-            for ks in (64, 128, 256):
+            # count (_solver_variant: dense buckets + the large-graph CG)
+            # at the closure iteration budget. Results DISCARDED — calling
+            # optimize on a live graph with an undersized k_static would
+            # corrupt node poses (edges past the bucket drop), and warmup
+            # must be safe after load(); the compile happens either way.
+            for ks in self._DENSE_BUCKETS:
                 if ks <= self.graph.node_q.shape[0]:
-                    self.graph = pg.optimize(self.graph, iters=3,
-                                             method="dense", k_static=ks)
-            self.graph = pg.optimize(self.graph, iters=3, method="cg",
-                                     cg_iters=60)
+                    pg.optimize(self.graph, iters=3, method="dense",
+                                k_static=ks, cg_iters=self._CG_ITERS)
+            pg.optimize(self.graph, iters=3, method="cg",
+                        cg_iters=self._CG_ITERS)
             # full-state deformation program on a throwaway state
             from noetic_slam_tpu.models.odometry import init_state
 
@@ -368,7 +410,8 @@ class SlamSystem:
             # recompiles were the km soak's only closure-latency outliers
             # (~5 s spikes against a 0.15-0.5 s steady state).
             with self.stages("growth_warm"):
-                pg.optimize(self.graph, iters=3, method="cg", cg_iters=60)
+                pg.optimize(self.graph, iters=3, method="cg",
+                            cg_iters=self._CG_ITERS)
 
         # ONE batched fetch of the new keyframes' clouds for the archive +
         # descriptors.
@@ -474,12 +517,17 @@ class SlamSystem:
         if self.desc_store is not None:
             start = self._last_desc_query_node + 1
             end = min(cur_node, self.desc_store.count - 1)
-            if end >= start:
-                nodes_q = np.arange(start, end + 1)
+            # Drain in warmed-bucket-sized chunks (<= 64 queries per
+            # dispatch): an unbounded backlog (a resumed session, a sparse
+            # attempt cadence) would otherwise compile a fresh
+            # match_store_batch variant AND materialize a (B, K, S) score
+            # intermediate of gigabytes in one dispatch.
+            for c0 in range(start, end + 1, 64):
+                nodes_q = np.arange(c0, min(c0 + 63, end) + 1)
                 with self.stages("desc_query"):
                     cands, scores, shifts = self.desc_store.query_batch(
                         nodes_q, nodes_q - self.loop_min_gap)
-                self._last_desc_query_node = int(end)
+                self._last_desc_query_node = int(nodes_q[-1])
                 # Record the full match history FIRST (temporal-consistency
                 # seeds must not be lost when an earlier query closes).
                 for k, n in enumerate(nodes_q):
@@ -586,16 +634,7 @@ class SlamSystem:
         """Verify one candidate and, if it passes every gate, apply the
         closure (loop edge + optimize + map deformation)."""
         st = self.odometry.state
-        # Verification gets its own full solver budget: it runs at
-        # closure-candidate rate (rare), and a starved per-scan iteration
-        # budget must not decide accept/reject at the convergence knife
-        # edge (false negatives flip with float noise).
-        import dataclasses
-
-        vcfg = dataclasses.replace(
-            self.cfg.gicp, max_iterations=max(self.cfg.gicp.max_iterations,
-                                              32),
-            lm_max_iterations=max(self.cfg.gicp.lm_max_iterations, 10))
+        vcfg = self._verify_cfg()
         with self.stages("closure_verify"):
             T_corr, accepted = pg.verify_loop(
                 st.kf_xyz[cur], st.kf_valid[cur], st.kf_cov[cur],
@@ -654,26 +693,14 @@ class SlamSystem:
 
         t0 = _time.perf_counter()
         with self.stages("closure_optimize"):
-            # Solver by ACTUAL node count (host mirror), not array
-            # capacity: a freshly-grown 4096-capacity graph with 200 live
-            # nodes would otherwise run the 100-iteration CG chain where
-            # one small dense solve is faster. k_static rounds to a
-            # power-of-two bucket so at most log2 variants compile.
-            # Iteration budget by correction size: Gauss-Newton converges
-            # quadratically, and the steady-state km regime corrects
-            # 1-8 cm per closure (SOAK_r04_km) — 3 GN steps reach solver
-            # noise there; the full budget is reserved for large
-            # (topological) corrections.
+            # Solver by ACTUAL node count (_solver_variant, host mirror).
+            # Large corrections run extra PASSES of the same compiled
+            # 3-GN-step program (not a separate iters=10 variant, which
+            # would pay a fresh compile exactly on the latency-critical
+            # first topological correction).
             n_live = max(self._synced_total, 1)
-            gn = 10 if correction > 0.5 else 3
-            if n_live <= 192:
-                ks = max(64, 1 << (n_live - 1).bit_length())
-                ks = min(ks, self.graph.node_q.shape[0])
-                self.graph = pg.optimize(self.graph, iters=gn,
-                                         method="dense", k_static=ks)
-            else:
-                self.graph = pg.optimize(self.graph, iters=gn, method="cg",
-                                         cg_iters=60)
+            for _ in range(3 if correction > 0.5 else 1):
+                self._optimize_graph(n_live)
         moved = self._apply_graph_to_state()
         if self.enable_tsdf and self.odometry.tsdf_state is not None:
             jax.block_until_ready(jax.tree.leaves(self.odometry.tsdf_state)[0])
@@ -819,7 +846,12 @@ class SlamSystem:
                                         for k, v in extra.items()
                                         if k.startswith("desc_")})
         self._node_slot = {v: k for k, v in self._slot_node.items()}
-        self._last_desc_query_node = -1
+        # Resume does NOT re-query history: the pre-checkpoint nodes were
+        # already queried (re-querying would duplicate desc_log telemetry
+        # and re-attempt already-applied closures).
+        self._last_desc_query_node = (
+            self.desc_store.count - 1 if self.desc_store is not None
+            else -1)
         self._desc_match_hist = {}
         # Resumed graphs may exceed this instance's initial capacity.
         if graph is not None:

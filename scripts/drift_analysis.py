@@ -59,7 +59,10 @@ def main():
     # motion regime per decile
     speed = np.linalg.norm(np.diff(gt_i, axis=0), axis=-1) / np.maximum(
         np.diff(traj[:, 0]), 1e-6)
-    radius = np.linalg.norm(gt_i[:, :2] - gt_i[:1, :2].mean(0), axis=-1)
+    # radius from the trajectory CENTROID (the spiral center), not the
+    # first sample — distance-from-start conflates angular position with
+    # radial growth
+    radius = np.linalg.norm(gt_i[:, :2] - gt_i[:, :2].mean(0), axis=-1)
     regime = [(round(float(radius[i:i + dec].mean()), 1),
                round(float(np.median(speed[max(i - 1, 0):i + dec])), 2))
               for i in range(0, T, dec)][:10]

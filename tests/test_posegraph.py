@@ -264,6 +264,10 @@ def test_add_nodes_chain_saturates_at_capacity():
     assert int(g.n_nodes) == 4
     assert int(g.n_edges) <= 4
     np.testing.assert_array_equal(np.asarray(g.node_p), ps[:4])
+    # no phantom edges: every VALID edge references existing nodes only
+    ev = np.asarray(g.edge_valid)
+    assert np.all(np.asarray(g.edge_i)[ev] < 4)
+    assert np.all(np.asarray(g.edge_j)[ev] < 4)
 
 
 def test_detect_loop_candidate_np_parity(rng):
