@@ -124,7 +124,11 @@ class DescriptorStore:
     """Host+device store of per-keyframe descriptors with doubling
     capacity; matching runs on device against the full history."""
 
-    def __init__(self, cap: int = 256):
+    def __init__(self, cap: int = 4096):
+        # 4096 x (20 x 60) f32 = 20 MB — pre-allocating km-scale capacity
+        # is cheaper than the match_store_batch recompile each device-side
+        # capacity doubling would cost mid-run (store shape is part of the
+        # jit cache key); doubling growth remains for longer runs.
         self._host = np.zeros((cap, N_RINGS, N_SECTORS), np.float32)
         self._dev = jnp.asarray(self._host)
         self._pending: list = []      # host rows written since last upload

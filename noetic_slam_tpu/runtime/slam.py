@@ -244,12 +244,11 @@ class SlamSystem:
             z6 = jnp.zeros((Nk, 6))
             vcfg = self._verify_cfg()
             mcd = 2.0 * self.cfg.gicp.max_corr_dist
-            jax.block_until_ready(
-                pg.verify_loop(z3, zv, z6, z3, z6, vcfg,
-                               max_corr_dist=mcd))
-            jax.block_until_ready(
-                pg.verify_loop(z3, zv, z6, z3, z6, vcfg, max_corr_dist=mcd,
-                               guess=jnp.eye(4)))
+            pg.verify_loop.lower(z3, zv, z6, z3, z6, vcfg,
+                                 max_corr_dist=mcd).compile()
+            pg.verify_loop.lower(z3, zv, z6, z3, z6, vcfg,
+                                 max_corr_dist=mcd,
+                                 guess=jnp.eye(4)).compile()
             # archived-candidate covariance path (_candidate_data): the
             # per-scan pipeline may run the radius engine, leaving
             # plane_covariances uncompiled until the first evicted-
@@ -260,31 +259,32 @@ class SlamSystem:
                 z3, zv, self.cfg.gicp.k_correspondences)[0])
             # optimizer variants the closure path selects by live node
             # count (_solver_variant: dense buckets + the large-graph CG)
-            # at the closure iteration budget. Results DISCARDED — calling
-            # optimize on a live graph with an undersized k_static would
-            # corrupt node poses (edges past the bucket drop), and warmup
-            # must be safe after load(); the compile happens either way.
+            # at the closure iteration budget. AOT-compiled, never
+            # executed: executing on a live graph with an undersized
+            # k_static would corrupt node poses, and even a discarded
+            # call would burn seconds running the CG chain for nothing.
             for ks in self._DENSE_BUCKETS:
                 if ks <= self.graph.node_q.shape[0]:
-                    pg.optimize(self.graph, iters=3, method="dense",
-                                k_static=ks, cg_iters=self._CG_ITERS)
-            pg.optimize(self.graph, iters=3, method="cg",
-                        cg_iters=self._CG_ITERS)
+                    pg.optimize.lower(self.graph, iters=3, method="dense",
+                                      k_static=ks,
+                                      cg_iters=self._CG_ITERS).compile()
+            pg.optimize.lower(self.graph, iters=3, method="cg",
+                              k_static=None,
+                              cg_iters=self._CG_ITERS).compile()
             # full-state deformation program on a throwaway state
             from noetic_slam_tpu.models.odometry import init_state
 
             dummy = init_state(self.cfg)
-            jax.block_until_ready(jax.tree.leaves(_deform_state(
-                dummy, dummy.kf_quat, dummy.kf_pos))[0])
+            _deform_state.lower(dummy, dummy.kf_quat,
+                                dummy.kf_pos).compile()
             del dummy
-            # edge append (result discarded — add_edge is pure; the call
-            # signature must match the closure path's exactly so the trace
-            # is shared)
-            jax.block_until_ready(_add_edge_jit(
+            # edge append (signature must match the closure path's exactly
+            # so the executable is shared)
+            _add_edge_jit.lower(
                 self.graph, jnp.int32(0), jnp.int32(0),
                 jnp.asarray([1.0, 0, 0, 0], jnp.float32),
                 jnp.zeros(3, jnp.float32), w_rot=jnp.float32(2.0),
-                w_trans=jnp.float32(2.0)).n_edges)
+                w_trans=jnp.float32(2.0)).compile()
         if self.archive is not None:
             jax.block_until_ready(jax.tree.leaves(
                 self.archive.snapshot_live())[0])
@@ -410,8 +410,24 @@ class SlamSystem:
             # recompiles were the km soak's only closure-latency outliers
             # (~5 s spikes against a 0.15-0.5 s steady state).
             with self.stages("growth_warm"):
-                pg.optimize(self.graph, iters=3, method="cg",
-                            cg_iters=self._CG_ITERS)
+                # AOT-compile (.lower().compile()) — a "discarded" CALL
+                # would still EXECUTE the 3x60-iteration CG chain (~4 s of
+                # real device time through the relay) whose completion
+                # lands on the next closure's first fetch; lowering
+                # compiles the executable without running it.
+                # NOTE: static kwargs must match the closure path's call
+                # EXACTLY including explicitly-passed defaults — jit
+                # caches omitted-default and explicit-default separately
+                pg.optimize.lower(self.graph, iters=3, method="cg",
+                                  k_static=None,
+                                  cg_iters=self._CG_ITERS).compile()
+                # the edge-append executable is also shape-keyed on the
+                # graph capacity — warm it too
+                _add_edge_jit.lower(
+                    self.graph, jnp.int32(0), jnp.int32(0),
+                    jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                    jnp.zeros(3, jnp.float32), w_rot=jnp.float32(2.0),
+                    w_trans=jnp.float32(2.0)).compile()
 
         # ONE batched fetch of the new keyframes' clouds for the archive +
         # descriptors.
@@ -634,10 +650,14 @@ class SlamSystem:
         """Verify one candidate and, if it passes every gate, apply the
         closure (loop edge + optimize + map deformation)."""
         st = self.odometry.state
+        with self.stages("closure_gather_cur"):
+            cur_xyz = st.kf_xyz[cur]
+            cur_valid = st.kf_valid[cur]
+            cur_cov = st.kf_cov[cur]
         vcfg = self._verify_cfg()
         with self.stages("closure_verify"):
             T_corr, accepted = pg.verify_loop(
-                st.kf_xyz[cur], st.kf_valid[cur], st.kf_cov[cur],
+                cur_xyz, cur_valid, cur_cov,
                 cand_xyz, cand_cov, vcfg,
                 max_corr_dist=2.0 * self.cfg.gicp.max_corr_dist,
                 guess=guess)
@@ -661,7 +681,8 @@ class SlamSystem:
         # path length accumulated between candidate and current keyframe
         # (summed along the graph's insertion-ordered node chain — slot
         # order stops being trajectory order once the store evicts).
-        node_p = jax.device_get(self.graph.node_p)
+        with self.stages("closure_budget_fetch"):
+            node_p = jax.device_get(self.graph.node_p)
         lo, hi = min(cand_node, cur_node), max(cand_node, cur_node)
         path_len = float(np.sum(np.linalg.norm(
             np.diff(node_p[lo: hi + 1], axis=0), axis=-1)))
@@ -682,10 +703,11 @@ class SlamSystem:
         if self._edges_host + 1 > self.graph.edge_i.shape[0]:
             self.graph = pg.grow(self.graph,
                                  max_edges=2 * self.graph.edge_i.shape[0])
-        self.graph = _add_edge_jit(self.graph, jnp.int32(cand_node),
-                                   jnp.int32(cur_node), dq, dp,
-                                   w_rot=jnp.float32(2.0),
-                                   w_trans=jnp.float32(2.0))
+        with self.stages("closure_add_edge"):
+            self.graph = _add_edge_jit(self.graph, jnp.int32(cand_node),
+                                       jnp.int32(cur_node), dq, dp,
+                                       w_rot=jnp.float32(2.0),
+                                       w_trans=jnp.float32(2.0))
         self._edges_host += 1
 
         # Optimize and deform the map.
@@ -701,16 +723,22 @@ class SlamSystem:
             n_live = max(self._synced_total, 1)
             for _ in range(3 if correction > 0.5 else 1):
                 self._optimize_graph(n_live)
+        t1 = _time.perf_counter()
         moved = self._apply_graph_to_state()
+        t2 = _time.perf_counter()
         if self.enable_tsdf and self.odometry.tsdf_state is not None:
             jax.block_until_ready(jax.tree.leaves(self.odometry.tsdf_state)[0])
+        t3 = _time.perf_counter()
         self.closure_log.append({
             "source": source,
             "cand_node": int(cand_node), "cur_node": int(cur_node),
             "correction_m": round(correction, 4),
             "moved_keyframes": moved,
             "archived": 0 if self.archive is None else len(self.archive),
-            "seconds": _time.perf_counter() - t0})
+            "seconds": t3 - t0,
+            "t_optimize": round(t1 - t0, 3),
+            "t_apply": round(t2 - t1, 3),
+            "t_map_sync": round(t3 - t2, 3)})
         self.loop_closures += 1
         return True
 

@@ -332,13 +332,15 @@ def main():
             [w["scans_per_sec"] for w in windows[1:]] or
             [w["scans_per_sec"] for w in windows])), 2),
         "windows": windows,
-        # Degradation = the TREND, robust to single-window spikes (one
-        # window can absorb a multi-second solver recompile or a tunnel
-        # stall): median of the last 3 windows vs median of the best 3.
+        # Degradation = the TREND: median of the second-half windows vs
+        # median of the first half (post-compile). Robust both to
+        # single-window spikes (a window can absorb a growth compile or a
+        # tunnel stall) and to the max-statistic bias of comparing
+        # against the luckiest windows.
         "sustained_no_degradation": bool(
-            float(np.median(steady[-3:]))
-            >= 0.7 * float(np.median(sorted(steady)[-3:])))
-        if len(steady) >= 3 else (bool(steady[-1] >= 0.7 * max(steady))
+            float(np.median(steady[len(steady) // 2:]))
+            >= 0.7 * float(np.median(steady[: len(steady) // 2])))
+        if len(steady) >= 4 else (bool(steady[-1] >= 0.7 * max(steady))
                                   if steady else None),
         "kf_total": int(jax.device_get(st.kf_total)),
         "kf_resident_capacity": cfg.capacity.max_keyframes,
