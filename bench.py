@@ -310,7 +310,7 @@ def main():
         scans4 = [sim4.scan(i)
                   for i in range(min(n_sys, len(sim4.scan_stamps)))]
         slam4 = SlamSystem(cfg4, enable_tsdf=True, enable_loop_closure=True,
-                           loop_radius=4.0, loop_min_gap=15)
+                           loop_radius=4.0, loop_min_gap=15, pipelined=True)
         imu_m = 0
 
         def feed4(through):
@@ -326,7 +326,10 @@ def main():
                 chunk = scans4[b0: min(b0 + K, hi)]
                 feed4(max(h + pt.max() for h, _, pt in chunk) + 0.02)
                 slam4.process_scans([(h, xyz, pt) for h, xyz, pt in chunk])
-                slam4.sync_graph()
+                # sync rides maybe_close_loop's PIPELINED drain (3-batch
+                # cadence = ~16 new keyframes, inside the 32-slot outbox
+                # losslessness contract; the gather's D2H copy has 3
+                # batches of device work to hide behind)
                 if b0 % (3 * K) == 0 and b0 > 0:
                     slam4.maybe_close_loop()
             return float(jnp.sum(slam4.odometry.state.lidar_p))
@@ -344,6 +347,7 @@ def main():
                 "fused step + sync + archive + descriptors + closures",
             "slam_system_closures": slam4.loop_closures,
             "slam_system_lost_keyframes": slam4.sync_lost_keyframes,
+            "slam_system_raced_attempts": slam4.loop_raced,
         }
 
     # ---- In-run roofline/MFU lines (full table: ROOFLINE.md) ----

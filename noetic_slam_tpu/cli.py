@@ -57,7 +57,8 @@ def cmd_slam(args) -> int:
         cfg = cfg.replace(map_backend=args.map_backend)
     os.makedirs(args.out, exist_ok=True)
     slam = SlamSystem(cfg, enable_tsdf=not args.no_tsdf,
-                      enable_loop_closure=not args.no_loop_closure)
+                      enable_loop_closure=not args.no_loop_closure,
+                      pipelined=not args.exact_sync)
     if args.warmup:
         # Pre-compile the closure stack so no Mosaic/solver compile lands
         # mid-run (real-time operation; see SlamSystem.warmup docstring).
@@ -532,6 +533,10 @@ def main(argv=None) -> int:
     ps.add_argument("--warmup", action="store_true",
                     help="pre-compile the closure stack before ingest "
                          "(real-time runs: no compile lands mid-run)")
+    ps.add_argument("--exact-sync", action="store_true",
+                    help="disable the pipelined (one-cadence-stale) "
+                         "keyframe sync: every closure attempt blocks on "
+                         "a fresh device fetch first")
     ps.add_argument("--checkpoint", action="store_true")
     ps.add_argument("--esdf", action="store_true",
                     help="write a dense ESDF region around the final pose "
@@ -624,6 +629,12 @@ def main(argv=None) -> int:
                                    or args.bag or args.pcap):
         p.error("slam requires --mulran DIR, --bag FILE, --pcap FILE or "
                 "--synthetic SECONDS")
+    # Persistent XLA compilation cache: the ~3 min of warmup/first-step
+    # compiles are paid once per machine+config, not per invocation
+    # (NOETIC_SLAM_NO_CACHE=1 opts out).
+    from noetic_slam_tpu.runtime import compile_cache
+
+    compile_cache.enable()
     return args.fn(args)
 
 

@@ -186,35 +186,58 @@ class DescriptorStore:
             jnp.int32(exclude_from))
         return int(node), float(score), int(shift)
 
-    def query_batch(self, node_ids, exclude_froms):
-        """Match the stored descriptors of ``node_ids`` against the full
-        history in ONE dispatch + ONE fetch. Returns host arrays
-        (cands, scores, shifts), one row per query; queries whose
-        exclude_from <= 0 return cand -1.
+    def query_batch_start(self, node_ids, exclude_froms):
+        """Dispatch the batched match and start its async D2H copy —
+        non-blocking. Returns an opaque pending handle for
+        ``query_batch_finish`` (consumed an attempt later by the
+        pipelined closure path: the r5 medium soak measured 328 ms per
+        BLOCKING query fetch — the fetch was paying the device queue
+        drain, not the matmul).
 
-        The batch is padded to a power-of-two bucket (padding rows query
-        with exclude_from 0 — never eligible) so only log2(max-batch)
-        program variants ever compile; an unpadded design recompiled
-        match_store_batch on nearly every call (~4 s each on TPU —
-        dominated the r4 whole-system profile)."""
+        The batch is padded to a power-of-two bucket with floor 4
+        (padding rows query with exclude_from 0 — never eligible) so only
+        the warmed program variants ever run; an unpadded design
+        recompiled match_store_batch on nearly every call (~4 s each on
+        TPU), and m=1/2 buckets would compile outside the warmed set."""
         B = len(node_ids)
         if B == 0 or self.count == 0:
-            return (np.full(B, -1, np.int64), np.zeros(B, np.float32),
-                    np.zeros(B, np.int64))
+            return (None, B, None)
         self._sync_dev()
-        m = 1 << (B - 1).bit_length()
+        m = max(4, 1 << (B - 1).bit_length())
         ids = np.zeros((m,), np.int64)
         ids[:B] = np.asarray(node_ids, np.int64)
         exc = np.zeros((m,), np.int64)
         exc[:B] = np.asarray(exclude_froms, np.int64)
-        packed = np.asarray(jax.device_get(match_store_batch(
+        dev = match_store_batch(
             jnp.asarray(self._host[ids]), self._dev,
             jnp.int32(self.count), jnp.asarray(np.maximum(exc, 0),
-                                               np.int32))))
+                                               np.int32))
+        try:
+            dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        return (dev, B, exc)
+
+    @staticmethod
+    def query_batch_finish(pending):
+        """Complete a ``query_batch_start`` handle: host arrays
+        (cands, scores, shifts), one row per query; queries whose
+        exclude_from <= 0 return cand -1."""
+        dev, B, exc = pending
+        if dev is None:
+            return (np.full(B, -1, np.int64), np.zeros(B, np.float32),
+                    np.zeros(B, np.int64))
+        packed = np.asarray(jax.device_get(dev))
         cands = np.where(exc[:B] > 0,
                          packed[:B, 0].astype(np.int64), -1)
         return (cands, packed[:B, 1].astype(np.float32),
                 packed[:B, 2].astype(np.int64))
+
+    def query_batch(self, node_ids, exclude_froms):
+        """Match the stored descriptors of ``node_ids`` against the full
+        history in ONE dispatch + ONE (blocking) fetch."""
+        return self.query_batch_finish(
+            self.query_batch_start(node_ids, exclude_froms))
 
     # ------------------------------------------------------- persistence
     def pack(self) -> dict:

@@ -189,11 +189,16 @@ class _EntriesView:
             yield node, self[node]
 
     def __getitem__(self, node) -> ArchiveEntry:
+        # COPIES for every field: a uniform aliasing contract. Mutating a
+        # returned entry never touches the stacked storage (the old
+        # mixed view/copy form let e.xyz_q writes silently corrupt the
+        # archive while e.q writes silently vanished); persistent writes
+        # go through __setitem__.
         i = self._ar._idx[int(node)]
         return ArchiveEntry(
             q=self._ar._q[i].copy(), p=self._ar._p[i].copy(),
-            xyz_q=self._ar._xyz[i], scale=float(self._ar._scale[i]),
-            valid=self._ar._valid[i])
+            xyz_q=self._ar._xyz[i].copy(), scale=float(self._ar._scale[i]),
+            valid=self._ar._valid[i].copy())
 
     def __setitem__(self, node, e: ArchiveEntry) -> None:
         self._ar._set_entry(int(node), e)

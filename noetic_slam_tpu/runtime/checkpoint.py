@@ -33,16 +33,33 @@ def _pack(prefix: str, tree, out: dict) -> None:
         out[f"{prefix}/{name}"] = np.asarray(jax.device_get(leaf))
 
 
-def _unpack(prefix: str, cls, data) -> Optional[object]:
+def _unpack(prefix: str, cls, data, defaults=None) -> Optional[object]:
+    """Rebuild one state pytree from the flat archive. Fields absent from
+    the file (a checkpoint written before the field existed — e.g. the
+    outbox ring added in r4) fall back to ``defaults`` (an init-shaped
+    instance of ``cls``) when provided; otherwise the incompatibility is
+    reported by name instead of a bare KeyError."""
     keys = [k for k in data.files if k.startswith(prefix + "/")]
     if not keys:
         return None
     import jax.numpy as jnp
 
     fields = {}
+    missing = []
     for name in cls._fields:
-        arr = data[f"{prefix}/{name}"]
-        fields[name] = jnp.asarray(arr)
+        key = f"{prefix}/{name}"
+        if key in data.files:
+            fields[name] = jnp.asarray(data[key])
+        elif defaults is not None:
+            fields[name] = getattr(defaults, name)
+        else:
+            missing.append(name)
+    if missing:
+        raise ValueError(
+            f"checkpoint is missing {prefix} fields {missing} — written by "
+            f"an older version of this package; load it through "
+            f"load_pipeline (which fills init-shaped defaults) or "
+            f"re-create it")
     return cls(**fields)
 
 
@@ -66,14 +83,15 @@ def save_checkpoint(path: str, odom_state: OdomState,
     np.savez_compressed(path, **out)
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, odom_defaults: OdomState | None = None):
     """Returns (odom_state, map_state | None, graph | None, host dict).
 
     The "tsdf/" slot holds whichever dense-map backend was active; the
     class is detected from the payload field present (weight -> TsdfState,
-    logodds -> OccupancyState)."""
+    logodds -> OccupancyState). ``odom_defaults``: init-shaped OdomState
+    supplying fields the file predates (see _unpack)."""
     data = np.load(path, allow_pickle=False)
-    odom = _unpack("odom", OdomState, data)
+    odom = _unpack("odom", OdomState, data, defaults=odom_defaults)
     if "tsdf/logodds" in data.files:
         from noetic_slam_tpu.models.occupancy import OccupancyState
 
@@ -117,8 +135,14 @@ def save_pipeline(path: str, pipeline, tsdf_state=None, graph=None,
 
 def load_pipeline(path: str, pipeline):
     """Restore a checkpoint into an OdometryPipeline built with the same
-    config. Returns (tsdf_state | None, graph | None)."""
-    odom, tsdf, graph, host = load_checkpoint(path)
+    config. Returns (tsdf_state | None, graph | None). Fields the file
+    predates (e.g. the r4 outbox ring) restore to init defaults — correct
+    for the outbox because checkpoints are written post-sync (an empty
+    ring has nothing left to drain)."""
+    from noetic_slam_tpu.models.odometry import init_state
+
+    odom, tsdf, graph, host = load_checkpoint(
+        path, odom_defaults=init_state(pipeline.cfg))
     pipeline.state = odom
     pipeline.prev_header = host.get("prev_header")
     pipeline.headers = list(host.get("headers", []))

@@ -95,6 +95,22 @@ class StageTimer:
     def mean_ms(self, name: str) -> float:
         return self.totals[name] / max(self.counts[name], 1) * 1e3
 
+    def snapshot(self) -> dict:
+        """Copy of the cumulative totals/counts — callers diff successive
+        snapshots for per-window stage attribution (soak artifact)."""
+        return {"totals": dict(self.totals), "counts": dict(self.counts)}
+
+    @staticmethod
+    def delta(before: dict, after: dict) -> dict:
+        """Stage table covering the interval between two snapshots."""
+        out = {}
+        for k, v in after["totals"].items():
+            dv = v - before["totals"].get(k, 0.0)
+            dc = after["counts"][k] - before["counts"].get(k, 0)
+            if dc or dv > 1e-9:
+                out[k] = {"calls": dc, "total_s": round(dv, 3)}
+        return out
+
     def table(self) -> str:
         rows = ["stage                     calls   total_s   mean_ms"]
         for k in sorted(self.totals, key=lambda k: -self.totals[k]):

@@ -46,6 +46,51 @@ _add_edge_jit = jax.jit(pg.add_edge)
 
 
 @jax.jit
+def _guarded_verdict(accepted, kf_seq, slots, expects):
+    """Fold the slot seq guards into the verification verdict in ONE
+    dispatch (eager per-guard indexing would cost a relay round trip
+    each at closure-attempt rate)."""
+    ok = jnp.all(kf_seq[slots] == expects)
+    return jnp.logical_and(accepted, ok), ok
+
+
+@partial(jax.jit, static_argnames=("k_max",))
+def _gather_sync(st, n_nodes, n_edges, prev_total, k_max: int):
+    """ONE device program producing everything a graph sync needs: the
+    keyframe-store metadata, the outbox ring headers, the NEW keyframes'
+    clouds (outbox entries for sequences (prev_total, prev_total+k_max]
+    rolled into insertion order), and the fused-state seed for the
+    host-side IMU-rate pose extrapolator.
+
+    The r4 protocol issued two synchronous ``jax.device_get`` round trips
+    per batch (metadata, then the gathered clouds once the new count was
+    known) — 31 % of the km soak's wall time (VERDICT r4). Here the host
+    dispatches this program right after a batch, starts async D2H copies,
+    and consumes the result a batch later: the fetch overlaps device work
+    instead of blocking on it. Rows beyond the actually-new count carry
+    stale ring contents; the host validates each candidate sequence
+    against the fetched ``ob_seq`` before use."""
+    Q = st.ob_seq.shape[0]
+    seqs = prev_total + 1 + jnp.arange(k_max, dtype=jnp.int32)
+    slots = (seqs - 1) % Q
+    return {
+        "total": st.kf_total, "seq": st.kf_seq, "q": st.kf_quat,
+        "p": st.kf_pos, "count": st.kf_count,
+        "n_nodes": n_nodes, "n_edges": n_edges,
+        "ob_seq": st.ob_seq, "ob_q": st.ob_q, "ob_p": st.ob_p,
+        "ob_slot": st.ob_slot,
+        "new_xyz": st.ob_xyz[slots],
+        # fused-state snapshot for IMU-rate pose extrapolation
+        # (runtime/poseext.py; the reference publishes pose at IMU rate
+        # from its IMU callback, odom.cc:315-488). q/p/v are propagated
+        # to prop_off (the last applied IMU sample ~ the sweep end,
+        # relative to the last header) — NOT the header stamp.
+        "cur_q": st.q, "cur_p": st.p, "cur_v": st.v,
+        "bg": st.bg, "ba": st.ba, "prop_off": st.prop_off,
+    }
+
+
+@jax.jit
 def _deform_state(st, new_q, new_p):
     """Apply optimized per-slot keyframe poses to the odometry state in ONE
     jitted dispatch: rigid cloud/covariance deformation
@@ -85,7 +130,8 @@ class SlamSystem:
                  archive_eps_t: float | None = None,
                  archive_eps_r: float | None = None,
                  use_descriptors: bool = True,
-                 desc_min_score: float = 0.55):
+                 desc_min_score: float = 0.55,
+                 pipelined: bool = False):
         self.cfg = cfg or DlioConfig()
         self.odometry = OdometryPipeline(self.cfg, with_tsdf=enable_tsdf)
         self.enable_tsdf = enable_tsdf
@@ -139,6 +185,7 @@ class SlamSystem:
         self.desc_min_score = desc_min_score
         self._node_slot: dict = {}       # graph node -> resident slot
         self._last_desc_query_node = -1
+        self._pending_desc = None        # in-flight query batch (pipelined)
         self._desc_match_hist: dict = {} # node -> (matched cand, shift)
         self.loop_closures_descriptor = 0
         self.desc_log: list = []         # per-query {node, cand, score}
@@ -165,6 +212,26 @@ class SlamSystem:
         self._edges_host = 0     # host mirror of graph.n_edges (re-seeded
                                  # from the device every sync_graph fetch)
         self.loop_closures = 0
+        self.loop_raced = 0      # closure attempts rejected by the device
+                                 # seq guard (slot evicted inside the
+                                 # pipelined-staleness window — benign)
+        # Pipelined sync protocol (sync_dispatch/_sync_complete): the
+        # in-flight gather, the synced_total it was dispatched against, and
+        # the scan count at dispatch (to tell a still-fresh pending fetch
+        # from a stale one).
+        self._pending_sync = None
+        self._gather_k = min(self.cfg.capacity.outbox_slots, 16)
+        # pipelined=True: maybe_close_loop uses sync_pipelined() (detection
+        # on one-cadence-stale metadata, fetch overlapped with device
+        # work) — the real-time drivers' mode. Default False keeps the
+        # exact drain-everything-now semantics for library callers.
+        self.pipelined = pipelined
+        # Background graph-capacity pre-warm (threads compiling the
+        # capacity-keyed solver/edge executables ahead of growth).
+        self._warm_thread = None
+        self._warm_target: tuple | None = None
+        self._warmed_caps: set = set()
+        self.extrapolator = None  # PoseExtrapolator fed by _sync_complete
 
     # ------------------------------------------------- shared solver params
     # ONE definition of the closure-stack program variants, used by BOTH
@@ -259,32 +326,28 @@ class SlamSystem:
                 z3, zv, self.cfg.gicp.k_correspondences)[0])
             # optimizer variants the closure path selects by live node
             # count (_solver_variant: dense buckets + the large-graph CG)
-            # at the closure iteration budget. AOT-compiled, never
+            # at the closure iteration budget, plus the edge-append
+            # executable. AOT-compiled (.lower().compile()), never
             # executed: executing on a live graph with an undersized
             # k_static would corrupt node poses, and even a discarded
             # call would burn seconds running the CG chain for nothing.
-            for ks in self._DENSE_BUCKETS:
-                if ks <= self.graph.node_q.shape[0]:
-                    pg.optimize.lower(self.graph, iters=3, method="dense",
-                                      k_static=ks,
-                                      cg_iters=self._CG_ITERS).compile()
-            pg.optimize.lower(self.graph, iters=3, method="cg",
-                              k_static=None,
-                              cg_iters=self._CG_ITERS).compile()
-            # full-state deformation program on a throwaway state
+            self._warm_graph_capacity(self.graph.node_q.shape[0],
+                                      self.graph.edge_i.shape[0])
+            # full-state deformation + the pipelined sync-gather + the
+            # seq-guard fold, all on a throwaway state
             from noetic_slam_tpu.models.odometry import init_state
 
             dummy = init_state(self.cfg)
             _deform_state.lower(dummy, dummy.kf_quat,
                                 dummy.kf_pos).compile()
+            _gather_sync.lower(dummy, jnp.int32(0), jnp.int32(0),
+                               jnp.int32(0),
+                               k_max=self._gather_k).compile()
+            _guarded_verdict.lower(
+                jax.ShapeDtypeStruct((), jnp.bool_), dummy.kf_seq,
+                jax.ShapeDtypeStruct((2,), jnp.int32),
+                jax.ShapeDtypeStruct((2,), jnp.int32)).compile()
             del dummy
-            # edge append (signature must match the closure path's exactly
-            # so the executable is shared)
-            _add_edge_jit.lower(
-                self.graph, jnp.int32(0), jnp.int32(0),
-                jnp.asarray([1.0, 0, 0, 0], jnp.float32),
-                jnp.zeros(3, jnp.float32), w_rot=jnp.float32(2.0),
-                w_trans=jnp.float32(2.0)).compile()
         if self.archive is not None:
             jax.block_until_ready(jax.tree.leaves(
                 self.archive.snapshot_live())[0])
@@ -315,11 +378,133 @@ class SlamSystem:
         batches (keyframe-rate work, as in the per-scan path)."""
         return self.odometry.process_scans(batch)
 
+    # ---------------------------------------- graph-capacity pre-warming
+    def _graph_avatar(self, cap_n: int, cap_e: int):
+        """ShapeDtypeStruct pytree of a PoseGraph at (cap_n, cap_e)
+        capacity — lets a background thread AOT-compile the
+        capacity-keyed executables without touching live device data."""
+        g = self.graph
+        fields = {}
+        for name, leaf in zip(type(g)._fields, g):
+            shape = tuple(leaf.shape)
+            if name.startswith("node_"):
+                shape = (cap_n,) + shape[1:]
+            elif name.startswith("edge_"):
+                shape = (cap_e,) + shape[1:]
+            fields[name] = jax.ShapeDtypeStruct(shape, leaf.dtype)
+        return type(g)(**fields)
+
+    def _warm_graph_capacity(self, cap_n: int, cap_e: int,
+                             dense: bool = True) -> None:
+        """AOT-compile (.lower().compile() — never executed) every solver
+        variant the closure path can select at this graph capacity, plus
+        the edge-append executable. Capacity growth re-keys ALL of them.
+        ``dense=False`` skips the dense k_static buckets — correct once
+        the live node count is past _DENSE_MAX (node count is monotone,
+        so _solver_variant will never select dense again); a grow while
+        still <= _DENSE_MAX must keep them (ADVICE r4: the dense
+        executables are capacity-keyed too)."""
+        av = self._graph_avatar(cap_n, cap_e)
+        f32 = jnp.float32
+        s_i = jax.ShapeDtypeStruct((), jnp.int32)
+        s_q = jax.ShapeDtypeStruct((4,), f32)
+        s_p = jax.ShapeDtypeStruct((3,), f32)
+        s_w = jax.ShapeDtypeStruct((), f32)
+        _add_edge_jit.lower(av, s_i, s_i, s_q, s_p,
+                            w_rot=s_w, w_trans=s_w).compile()
+        # NOTE: static kwargs must match the closure path's calls EXACTLY
+        # including explicitly-passed defaults — jit caches
+        # omitted-default and explicit-default separately.
+        pg.optimize.lower(av, iters=3, method="cg", k_static=None,
+                          cg_iters=self._CG_ITERS).compile()
+        if dense:
+            for ks in self._DENSE_BUCKETS:
+                if ks <= cap_n:
+                    pg.optimize.lower(av, iters=3, method="dense",
+                                      k_static=ks,
+                                      cg_iters=self._CG_ITERS).compile()
+        self._warmed_caps.add((cap_n, cap_e))
+
+    def _prewarm_async(self, cap_n: int, cap_e: int,
+                       dense: bool = False) -> None:
+        """Compile the (cap_n, cap_e) executables in a background thread
+        (XLA compilation runs host-side; it overlaps device work). Spawned
+        well ahead of need — at 50 % node occupancy — so the compile is
+        DONE before growth; _ensure_capacity_warm joins it otherwise."""
+        if (cap_n, cap_e) in self._warmed_caps or (
+                self._warm_thread is not None
+                and self._warm_thread.is_alive()
+                and self._warm_target == (cap_n, cap_e)):
+            return
+        import threading
+
+        if self._warm_thread is not None and self._warm_thread.is_alive():
+            return                    # one in flight at a time
+        self._warm_target = (cap_n, cap_e)
+        self._warm_thread = threading.Thread(
+            target=self._warm_graph_capacity, args=(cap_n, cap_e, dense),
+            daemon=True)
+        self._warm_thread.start()
+
+    def _ensure_capacity_warm(self, cap_n: int, cap_e: int,
+                              dense: bool = True) -> None:
+        """Block until the (cap_n, cap_e) executables are compiled
+        (joins a matching in-flight pre-warm; compiles inline as the
+        fallback). Only ever reached when growth outpaced the 50 %
+        pre-warm trigger."""
+        if (cap_n, cap_e) in self._warmed_caps:
+            return
+        if (self._warm_thread is not None and self._warm_thread.is_alive()
+                and self._warm_target == (cap_n, cap_e)):
+            with self.stages("growth_warm"):
+                self._warm_thread.join()
+            return
+        with self.stages("growth_warm"):
+            self._warm_graph_capacity(cap_n, cap_e, dense)
+
     # ------------------------------------------------------- loop closures
+    def sync_dispatch(self) -> None:
+        """Dispatch the coalesced sync-gather program (_gather_sync) and
+        start async D2H copies of its outputs — no blocking. The matching
+        _sync_complete (typically a batch later) consumes the result;
+        meanwhile the copies overlap the next batch's device work. No-op
+        when a gather is already in flight or no state exists yet."""
+        st = self.odometry.state
+        if st is None or self._pending_sync is not None:
+            return
+        g = self.graph
+        f = _gather_sync(st, g.n_nodes, g.n_edges,
+                         jnp.int32(self._synced_total),
+                         k_max=self._gather_k)
+        for leaf in jax.tree.leaves(f):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:     # backend without async D2H
+                break
+        self._pending_sync = (f, self._synced_total,
+                              len(self.odometry.headers))
+
+    def _sync_complete(self) -> int:
+        """Consume the in-flight gather (blocking only on its D2H copies,
+        which a pipelined caller has already overlapped with device work)
+        and commit the drained keyframes. Returns new-node count."""
+        if self._pending_sync is None:
+            return 0
+        f, prev_total, n_hdr = self._pending_sync
+        self._pending_sync = None
+        assert prev_total == self._synced_total, \
+            "pending sync raced a completed drain"
+        with self.stages("sync_fetch"):
+            h = jax.device_get(f)
+        return self._drain(h, n_hdr)
+
     def sync_graph(self) -> int:
         """Drain the device keyframe OUTBOX: add graph nodes/odometry edges
         (and archive/descriptor entries) for every keyframe created since
         the last call, in insertion order. Returns number of new nodes.
+        EXACT semantics: on return the graph covers every keyframe created
+        so far (an in-flight stale gather is completed first, then a fresh
+        one runs if scans were submitted since it was dispatched).
 
         Losslessness: push_keyframe writes every keyframe into the outbox
         ring (models/odometry.OdomState.ob_*) independent of resident-store
@@ -327,15 +512,75 @@ class SlamSystem:
         the intermediate keyframe from the graph/archive/descriptors (the
         r3 km soak lost 385/2554 that way). The contract is syncing at
         least once per capacity.outbox_slots new keyframes; overruns are
-        counted in ``sync_lost_keyframes`` (asserted 0 by the soak).
+        counted in ``sync_lost_keyframes`` (asserted 0 by the soak)."""
+        n = 0
+        p = self._pending_sync
+        if p is not None:
+            n = self._sync_complete()
+            if p[2] == len(self.odometry.headers):
+                return n               # pending covered the current state
+        self.sync_dispatch()
+        return n + self._sync_complete()
 
-        Transport discipline: ONE device fetch in the common
-        no-new-keyframe case, TWO when keyframes were created (metadata
-        tuple + gathered outbox clouds); archive fusion and descriptor
-        uploads are batched into one dispatch each (per-keyframe dispatches
-        cost a relay round trip each — minutes over a km run). The fetched
-        resident-store metadata is stashed host-side (_kf_host) for the
-        closure path."""
+    def sync_pipelined(self) -> int:
+        """Pipelined drain for real-time drivers: complete the PREVIOUS
+        dispatch (stale by up to one call cadence — lossless per the
+        outbox contract) and prefetch the next. Never blocks on the
+        current batch's device work; closure detection then runs on
+        metadata one cadence old, with device-side seq guards rejecting
+        any candidate whose resident slot was evicted inside the window
+        (_attempt_closure), and a fresh exact sync_graph() re-running
+        before any accepted closure is applied."""
+        n = self._sync_complete()
+        self.sync_dispatch()
+        return n
+
+    def _drain(self, h, n_hdr: int | None = None) -> int:
+        """Commit one fetched gather: reconstruct the new-keyframe records
+        from the outbox headers and hand them to _commit. Falls back to
+        _sync_blocking when the gathered window cannot serve the drain
+        (more new keyframes than _gather_k, or ring entries already
+        overwritten — resident-store recovery needs a fresh fetch)."""
+        total = int(h["total"])
+        seq = h["seq"]
+        self._kf_host = {"total": total, "seq": seq, "q": h["q"],
+                         "p": h["p"], "count": int(h["count"])}
+        self._edges_host = int(h["n_edges"])
+        if self.extrapolator is not None and n_hdr:
+            # fused-state snapshot corresponds to the n_hdr-th submitted
+            # scan (the gather ran after its step program), propagated to
+            # header + prop_off (the last applied IMU sample)
+            self.extrapolator.seed(
+                self.odometry.headers[n_hdr - 1] + float(h["prop_off"]),
+                h["cur_q"], h["cur_p"], h["cur_v"], h["bg"], h["ba"])
+        prev_total = self._synced_total
+        if total <= prev_total:
+            return 0
+        count = total - prev_total
+        ob_seq = h["ob_seq"]
+        Q = ob_seq.shape[0]
+        if count > self._gather_k or any(
+                int(ob_seq[(sq - 1) % Q]) != sq
+                for sq in range(prev_total + 1, total + 1)):
+            return self._sync_blocking()
+        sel = np.asarray([(sq - 1) % Q
+                          for sq in range(prev_total + 1, total + 1)])
+        new_q = h["ob_q"][sel]
+        new_p = h["ob_p"][sel]
+        new_slots = h["ob_slot"][sel]
+        xyz_new = h["new_xyz"][:count]
+        valid_new = np.all(np.abs(xyz_new) < 1e5, axis=-1)
+        return self._commit(new_q, new_p, new_slots, xyz_new, valid_new,
+                            int(h["n_nodes"]), total)
+
+    def _sync_blocking(self) -> int:
+        """Fresh two-phase drain against the CURRENT state — the fallback
+        for callers violating the gather-window contract (syncing less
+        than once per _gather_k new keyframes): metadata fetch, then
+        recovery of older unsynced sequences from the RESIDENT store when
+        their slot has not been re-evicted. Only keyframes that BOTH fell
+        out of the ring AND lost their resident slot are unrecoverable
+        (counted — the soak asserts 0)."""
         st = self.odometry.state
         if st is None:
             return 0
@@ -353,11 +598,7 @@ class SlamSystem:
             return 0
 
         # Outbox drain: sequences (total - Q, total] live in ring slots
-        # (s - 1) % Q. Older unsynced sequences (a caller syncing less
-        # often than the outbox contract) are recovered from the RESIDENT
-        # store when their slot has not been re-evicted; only keyframes
-        # that BOTH fell out of the ring AND lost their resident slot are
-        # unrecoverable (counted — the soak asserts 0).
+        # (s - 1) % Q; older unsynced sequences fall back to the store.
         Q = ob_seq.shape[0]
         first_new = self._synced_total + 1
         seq_to_slot = {int(seq[s]): s for s in range(len(seq))
@@ -386,58 +627,13 @@ class SlamSystem:
         new_slots = np.asarray([ob_slot[i] if ob else i
                                 for _, ob, i in recs])
 
-        # Capacity ahead-of-saturation growth: pg.add_node/add_edge saturate
-        # silently, which would leave _slot_node entries dangling and the
-        # odometry chain broken past max_graph_nodes (the round-2 long-run
-        # corruption hazard). Grow by doubling so node ids stay valid for
-        # the whole (unbounded) run.
-        cap_n = self.graph.node_q.shape[0]
-        cap_e = self.graph.edge_i.shape[0]
-        grew = False
-        need_n, need_e = node + count, n_edges + count + 4
-        while cap_n < need_n:
-            cap_n *= 2
-            grew = True
-        while cap_e < need_e:
-            cap_e *= 2
-            grew = True
-        self.graph = pg.grow(self.graph, max_nodes=cap_n, max_edges=cap_e)
-        self.max_graph_nodes = cap_n
-        if grew and self.enable_loop_closure and node > 192:
-            # Pre-compile the CG solver at the NEW capacity here (result
-            # discarded — optimize is pure) so the recompile lands at
-            # growth time instead of inside the next closure: solver
-            # recompiles were the km soak's only closure-latency outliers
-            # (~5 s spikes against a 0.15-0.5 s steady state).
-            with self.stages("growth_warm"):
-                # AOT-compile (.lower().compile()) — a "discarded" CALL
-                # would still EXECUTE the 3x60-iteration CG chain (~4 s of
-                # real device time through the relay) whose completion
-                # lands on the next closure's first fetch; lowering
-                # compiles the executable without running it.
-                # NOTE: static kwargs must match the closure path's call
-                # EXACTLY including explicitly-passed defaults — jit
-                # caches omitted-default and explicit-default separately
-                pg.optimize.lower(self.graph, iters=3, method="cg",
-                                  k_static=None,
-                                  cg_iters=self._CG_ITERS).compile()
-                # the edge-append executable is also shape-keyed on the
-                # graph capacity — warm it too
-                _add_edge_jit.lower(
-                    self.graph, jnp.int32(0), jnp.int32(0),
-                    jnp.asarray([1.0, 0, 0, 0], jnp.float32),
-                    jnp.zeros(3, jnp.float32), w_rot=jnp.float32(2.0),
-                    w_trans=jnp.float32(2.0)).compile()
-
         # ONE batched fetch of the new keyframes' clouds for the archive +
-        # descriptors.
-        need_clouds = (self.archive is not None
-                       or self.desc_store is not None)
-        if need_clouds:
+        # descriptors. Validity never ships: cloud stores hold invalid
+        # rows at the 1e6 SENTINEL, so one xyz gather per source is the
+        # whole fetch.
+        xyz_new = valid_new = None
+        if self.archive is not None or self.desc_store is not None:
             with self.stages("sync_clouds"):
-                # validity never ships: cloud stores hold invalid rows at
-                # the 1e6 SENTINEL (transform_cloud/voxel_downsample), so
-                # one xyz gather per source is the whole fetch.
                 from_ob = np.asarray([ob for _, ob, _ in recs])
                 ob_sel = jnp.asarray(
                     [i if ob else 0 for _, ob, i in recs])
@@ -450,6 +646,55 @@ class SlamSystem:
                         (st.ob_xyz[ob_sel], st.kf_xyz[kf_sel]))
                     xyz_new = np.where(from_ob[:, None, None], oxyz, kxyz)
                 valid_new = np.all(np.abs(xyz_new) < 1e5, axis=-1)
+        return self._commit(new_q, new_p, new_slots, xyz_new, valid_new,
+                            node, total)
+
+    def _commit(self, new_q, new_p, new_slots, xyz_new, valid_new,
+                node: int, total: int) -> int:
+        """Append the drained keyframes: capacity growth (+ pre-warm of
+        the next capacity), ONE jitted node/edge-chain append, slot<->node
+        bookkeeping, batched archive fuse, batched descriptor add."""
+        count = len(new_q)
+
+        # Capacity ahead-of-saturation growth: pg.add_node/add_edge
+        # saturate silently, which would leave _slot_node entries dangling
+        # and the odometry chain broken past max_graph_nodes (the round-2
+        # long-run corruption hazard). Grow by doubling so node ids stay
+        # valid for the whole (unbounded) run.
+        cap_n = self.graph.node_q.shape[0]
+        cap_e = self.graph.edge_i.shape[0]
+        grew = False
+        need_n, need_e = node + count, self._edges_host + count + 4
+        while cap_n < need_n:
+            cap_n *= 2
+            grew = True
+        # Edge capacity rides node capacity (cap_e >= 2*cap_n: chain edge
+        # per node + closure edges) so each doubling is ONE growth event
+        # with a PREDICTABLE target — the background pre-warm below then
+        # compiles exactly the capacity pair growth will produce, instead
+        # of racing two independent node/edge crossings (the r5 first cut
+        # warmed (2n, e) and growth landed on (2n, 2e): 10 s inline).
+        if cap_e < 2 * cap_n:
+            cap_e = 2 * cap_n
+            grew = True
+        while cap_e < need_e:
+            cap_e *= 2
+            grew = True
+        dense_live = node <= self._DENSE_MAX    # see _warm_graph_capacity
+        if grew and self.enable_loop_closure:
+            # solver/edge executables are capacity-keyed: make sure the
+            # new capacity's compiles do NOT land inside the next closure
+            # (ideally the 50% pre-warm below already finished them)
+            self._ensure_capacity_warm(cap_n, cap_e, dense=dense_live)
+        self.graph = pg.grow(self.graph, max_nodes=cap_n, max_edges=cap_e)
+        self.max_graph_nodes = cap_n
+        if self.enable_loop_closure and need_n > cap_n // 2:
+            # 50% node occupancy: compile the NEXT doubling in the
+            # background now, so the growth above finds it already warmed
+            # (the r4 on-path growth_warm cost 4.6 s x 7 mid-run; the
+            # lead time is ~cap_n/2 keyframes of scans)
+            self._prewarm_async(cap_n * 2, max(cap_e, 4 * cap_n),
+                                dense=dense_live)
 
         # ONE jitted dispatch appends every new node + chain edge (the
         # eager per-keyframe add_node/add_edge path cost ~170 ms/keyframe
@@ -503,15 +748,23 @@ class SlamSystem:
         Returns True if a closure was applied."""
         if not self.enable_loop_closure:
             return False
-        self.sync_graph()
+        if self.pipelined:
+            self.sync_pipelined()
+        else:
+            self.sync_graph()
         st = self.odometry.state
         if self._synced_total < self.loop_min_gap + 2:
             return False
-        # All keyframe metadata comes from sync_graph's host stash — the
+        # All keyframe metadata comes from sync's host stash — the
         # detection path costs ZERO additional device round trips
         # (pg.detect_loop_candidate_np is the shared host form of the
-        # jitted rule; parity pinned in tests/test_posegraph.py).
+        # jitted rule; parity pinned in tests/test_posegraph.py). Under
+        # pipelined sync the stash is one cadence old; _attempt_closure's
+        # device seq guards reject any candidate whose slot was evicted
+        # inside that window.
         kh = self._kf_host
+        if kh is None:
+            return False    # no completed sync yet (first pipelined call)
         seq, kf_p_h = kh["seq"], kh["p"]
         cur = int(np.argmax(seq))
         if cur not in self._slot_node:
@@ -531,33 +784,41 @@ class SlamSystem:
         # recall/precision telemetry the soak calibrates thresholds on).
         matched = []
         if self.desc_store is not None:
+            # 1) complete the query batch dispatched at the PREVIOUS
+            # attempt (its async D2H copy overlapped the intervening
+            # device work — the r5 medium soak measured 328 ms per
+            # BLOCKING query fetch, which was queue drain, not matmul)
+            if self._pending_desc is not None:
+                nodes_q, handle = self._pending_desc
+                self._pending_desc = None
+                with self.stages("desc_query"):
+                    res = self.desc_store.query_batch_finish(handle)
+                self._record_desc_results(nodes_q, res, matched)
+            # 2) dispatch queries for the not-yet-queried backlog in
+            # warmed-bucket-sized chunks (<= 64 per dispatch: an
+            # unbounded batch would compile a fresh match_store_batch
+            # variant AND materialize a (B, K, S) score intermediate of
+            # gigabytes). Pipelined: only the newest chunk stays in
+            # flight; older backlog chunks (resumed session, sparse
+            # cadence) drain synchronously.
             start = self._last_desc_query_node + 1
             end = min(cur_node, self.desc_store.count - 1)
-            # Drain in warmed-bucket-sized chunks (<= 64 queries per
-            # dispatch): an unbounded backlog (a resumed session, a sparse
-            # attempt cadence) would otherwise compile a fresh
-            # match_store_batch variant AND materialize a (B, K, S) score
-            # intermediate of gigabytes in one dispatch.
-            for c0 in range(start, end + 1, 64):
-                nodes_q = np.arange(c0, min(c0 + 63, end) + 1)
+            chunks = [np.arange(c0, min(c0 + 63, end) + 1)
+                      for c0 in range(start, end + 1, 64)]
+            sync_chunks = chunks[:-1] if self.pipelined else chunks
+            for nodes_q in sync_chunks:
                 with self.stages("desc_query"):
-                    cands, scores, shifts = self.desc_store.query_batch(
+                    res = self.desc_store.query_batch(
                         nodes_q, nodes_q - self.loop_min_gap)
                 self._last_desc_query_node = int(nodes_q[-1])
-                # Record the full match history FIRST (temporal-consistency
-                # seeds must not be lost when an earlier query closes).
-                for k, n in enumerate(nodes_q):
-                    n, cand = int(n), int(cands[k])
-                    score, shift = float(scores[k]), int(shifts[k])
-                    self.desc_log.append({"node": n, "cand": cand,
-                                          "score": round(score, 4)})
-                    if cand < 0 or score < self.desc_min_score:
-                        continue
-                    prev = self._desc_match_hist.get(n - 1)
-                    self._desc_match_hist[n] = (cand, shift)
-                    if prev is None or abs(cand - prev[0]) > 5:
-                        continue    # not yet temporally consistent
-                    matched.append((n, cand, shift))
+                self._record_desc_results(nodes_q, res, matched)
+            if self.pipelined and chunks:
+                nodes_q = chunks[-1]
+                with self.stages("desc_dispatch"):
+                    handle = self.desc_store.query_batch_start(
+                        nodes_q, nodes_q - self.loop_min_gap)
+                self._pending_desc = (nodes_q, handle)
+                self._last_desc_query_node = int(nodes_q[-1])
 
         # --- 2) proximity candidate (resident store) ---
         cand, prox_ok = pg.detect_loop_candidate_np(
@@ -568,7 +829,9 @@ class SlamSystem:
                 if self._attempt_closure(
                         cur, cur_node, self._slot_node[cand],
                         st.kf_xyz[cand], st.kf_cov[cand],
-                        kh["q"][cand], kf_p_h[cand]):
+                        kh["q"][cand], kf_p_h[cand],
+                        guard_slots=((cur, int(seq[cur])),
+                                     (cand, int(seq[cand])))):
                     return True
 
         # --- 3) descriptor candidate attempts (two consecutive keyframes
@@ -580,18 +843,41 @@ class SlamSystem:
             slot = self._node_slot.get(n)
             if slot is None:
                 continue            # source keyframe already evicted
-            cand_xyz, cand_cov, cand_q, cand_p = self._candidate_data(cand)
+            (cand_xyz, cand_cov, cand_q, cand_p,
+             cand_guard) = self._candidate_data(cand)
             if cand_xyz is None:
                 continue
+            guards = ((slot, int(kh["seq"][slot])),)
+            if cand_guard is not None:
+                guards = guards + (cand_guard,)
             if self._attempt_descriptor_closure(
                     slot, n, cand, shift, cand_xyz, cand_cov, cand_q,
-                    cand_p):
+                    cand_p, guards):
                 return True
         return False
 
+    def _record_desc_results(self, nodes_q, res, matched) -> None:
+        """Fold one completed query batch into the match history + the
+        temporally-consistent candidate list. History records FIRST
+        (consistency seeds must not be lost when an earlier query
+        closes)."""
+        cands, scores, shifts = res
+        for k, n in enumerate(nodes_q):
+            n, cand = int(n), int(cands[k])
+            score, shift = float(scores[k]), int(shifts[k])
+            self.desc_log.append({"node": n, "cand": cand,
+                                  "score": round(score, 4)})
+            if cand < 0 or score < self.desc_min_score:
+                continue
+            prev = self._desc_match_hist.get(n - 1)
+            self._desc_match_hist[n] = (cand, shift)
+            if prev is None or abs(cand - prev[0]) > 5:
+                continue    # not yet temporally consistent
+            matched.append((n, cand, shift))
+
     def _attempt_descriptor_closure(self, slot, node, cand, shift,
                                     cand_xyz, cand_cov, cand_q,
-                                    cand_p) -> bool:
+                                    cand_p, guard_slots=()) -> bool:
         """Seed GICP with the descriptor's yaw shift and run the common
         verification/gating: R_true = R_cand Rz(psi), psi = 2 pi shift/S
         (models/placedesc geometry). All-host math (make_se3_np): the
@@ -613,23 +899,26 @@ class SlamSystem:
         guess = (T_cand @ Rz @ np.linalg.inv(T_est)).astype(np.float32)
         applied = self._attempt_closure(
             slot, node, cand, cand_xyz, cand_cov, cand_q, cand_p,
-            guess=guess, source="descriptor")
+            guess=guess, source="descriptor", guard_slots=guard_slots)
         if applied:
             self.loop_closures_descriptor += 1
         return applied
 
     def _candidate_data(self, node: int):
-        """Cloud + covariances + pose of a candidate graph node: from the
-        resident store when the slot is live, else dequantized from the
-        archive (covariances recomputed on device — closure-rate cost)."""
+        """Cloud + covariances + pose + device seq guard of a candidate
+        graph node: from the resident store when the slot is live (guard =
+        (slot, expected seq) for _attempt_closure's race check), else
+        dequantized from the archive (host data — no guard needed;
+        covariances recomputed on device at closure rate)."""
         st = self.odometry.state
         slot = self._node_slot.get(node)
         if slot is not None:
             kh = self._kf_host
             return (st.kf_xyz[slot], st.kf_cov[slot],
-                    kh["q"][slot], kh["p"][slot])
+                    kh["q"][slot], kh["p"][slot],
+                    (slot, int(kh["seq"][slot])))
         if self.archive is None or node not in self.archive.entries:
-            return None, None, None, None
+            return None, None, None, None, None
         from noetic_slam_tpu.ops import gicp as gicp_ops
         from noetic_slam_tpu.utils.geometry import quat_to_mat
 
@@ -642,13 +931,21 @@ class SlamSystem:
         world = jnp.where(valid[:, None], world, 1e6)   # mask padded rows
         cov, _ = gicp_ops.plane_covariances(world, valid,
                                             self.cfg.gicp.k_correspondences)
-        return world, cov, e.q, e.p
+        return world, cov, e.q, e.p, None
 
     def _attempt_closure(self, cur: int, cur_node: int, cand_node: int,
                          cand_xyz, cand_cov, cand_q, cand_p,
-                         guess=None, source: str = "proximity") -> bool:
+                         guess=None, source: str = "proximity",
+                         guard_slots=()) -> bool:
         """Verify one candidate and, if it passes every gate, apply the
-        closure (loop edge + optimize + map deformation)."""
+        closure (loop edge + optimize + map deformation).
+
+        ``guard_slots``: ((slot, expected_seq), ...) device-side seq
+        guards folded into the verification verdict: under pipelined sync
+        the detection metadata is one cadence old, and a guarded slot
+        evicted inside that window makes the candidate's cloud/pose pair
+        inconsistent — the attempt must read as rejected (counted in
+        ``loop_raced``), not gamble on the GICP gates."""
         st = self.odometry.state
         with self.stages("closure_gather_cur"):
             cur_xyz = st.kf_xyz[cur]
@@ -661,11 +958,33 @@ class SlamSystem:
                 cand_xyz, cand_cov, vcfg,
                 max_corr_dist=2.0 * self.cfg.gicp.max_corr_dist,
                 guess=guess)
-            # ONE fetch for the verdict + correction; the rest of the edge
-            # construction is host numpy (make_se3_np/mat_to_quat_np).
-            accepted, Tc = jax.device_get((accepted, T_corr))
+            if guard_slots:
+                # pad to 2 guards (repeat the first) so ONE executable
+                # serves both the 1- and 2-guard shapes
+                g = list(guard_slots) + [guard_slots[0]]
+                slots = jnp.asarray([int(s) for s, _ in g[:2]], jnp.int32)
+                expects = jnp.asarray([int(e) for _, e in g[:2]], jnp.int32)
+                accepted, seq_ok = _guarded_verdict(
+                    accepted, st.kf_seq, slots, expects)
+            else:
+                seq_ok = True
+            # ONE fetch for the verdict + guard + correction; the rest of
+            # the edge construction is host numpy (make_se3_np/...).
+            accepted, seq_ok, Tc = jax.device_get(
+                (accepted, seq_ok, T_corr))
+        if not bool(seq_ok):
+            self.loop_raced += 1
+            return False
         if not bool(accepted):
             return False
+        # Accepted: re-establish the EXACT sync invariant before mutating
+        # graph/state. Under pipelined staleness, keyframes created since
+        # the gather must enter the graph BEFORE optimize/deform —
+        # otherwise the deformation would skip their slots and the next
+        # drain would archive them at pre-closure poses. Closure
+        # application is rare; this one blocking round trip is off the
+        # steady-state path.
+        self.sync_graph()
 
         # Corrected world pose of the current keyframe: T_corr moves its
         # cloud onto the candidate's map; the loop edge measures candidate ->
@@ -806,8 +1125,12 @@ class SlamSystem:
         # The host stash of keyframe metadata now holds PRE-closure poses
         # while the device clouds are post-closure: invalidate it so any
         # later read in the same pass fails loudly instead of silently
-        # mixing frames (the next sync_graph re-fetches).
+        # mixing frames (the next sync_graph re-fetches). A pending gather
+        # would carry pre-closure poses too — drop it (the outbox ring
+        # retains anything it had not yet drained; _attempt_closure's
+        # fresh sync means it is empty here anyway).
         self._kf_host = None
+        self._pending_sync = None
         return moved
 
     # --------------------------------------------------- checkpoint/resume
@@ -835,6 +1158,7 @@ class SlamSystem:
                 "loop_closures": self.loop_closures,
                 "loop_closures_descriptor": self.loop_closures_descriptor,
                 "loop_rejected_budget": self.loop_rejected_budget,
+                "loop_raced": self.loop_raced,
                 "sync_lost_keyframes": self.sync_lost_keyframes,
                 "last_kf_pose": (None if lkp is None else
                                  [np.asarray(lkp[0]).tolist(),
@@ -859,10 +1183,13 @@ class SlamSystem:
         self.loop_closures_descriptor = int(
             s.get("loop_closures_descriptor", 0))
         self.loop_rejected_budget = int(s.get("loop_rejected_budget", 0))
+        self.loop_raced = int(s.get("loop_raced", 0))
         self.sync_lost_keyframes = int(s.get("sync_lost_keyframes", 0))
         lkp = s.get("last_kf_pose")
         self._last_kf_pose = (None if lkp is None else
                               (np.asarray(lkp[0]), np.asarray(lkp[1])))
+        self._kf_host = None          # pre-load stash (reused instance)
+        self._pending_sync = None
         if self.archive is not None or self.desc_store is not None:
             extra = ck.load_extra_arrays(path)
             if self.archive is not None:
@@ -881,9 +1208,30 @@ class SlamSystem:
             self.desc_store.count - 1 if self.desc_store is not None
             else -1)
         self._desc_match_hist = {}
+        self._pending_desc = None
         # Resumed graphs may exceed this instance's initial capacity.
         if graph is not None:
             self.max_graph_nodes = self.graph.node_q.shape[0]
+
+    # ----------------------------------------------------- IMU-rate pose
+    def enable_pose_extrapolation(self) -> None:
+        """Turn on host-side IMU-rate pose output (runtime/poseext.py —
+        the reference's 100 Hz publishPose role, odom.cc:315-488). Each
+        sync drain re-seeds the extrapolator with the fused snapshot
+        already riding the gather; ``pose_at(t)`` then serves queries
+        between scans from the buffered IMU samples with zero device
+        traffic."""
+        from noetic_slam_tpu.runtime.poseext import PoseExtrapolator
+
+        self.extrapolator = PoseExtrapolator(self.cfg, self.odometry)
+
+    def pose_at(self, t: float):
+        """(q wxyz, p) extrapolated to absolute time ``t`` (None before
+        the first synced keyframe batch). Requires
+        enable_pose_extrapolation()."""
+        if self.extrapolator is None:
+            return None
+        return self.extrapolator.pose_at(t)
 
     # ------------------------------------------------------------- results
     def flush(self):

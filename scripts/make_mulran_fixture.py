@@ -164,9 +164,22 @@ def main():
                     help="stationary seconds for IMU calibration")
     ap.add_argument("--n-points", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--pose", default="default",
+                    choices=["default", "loop", "spiral"],
+                    help="driving trajectory: gentle arc (default), a "
+                         "closed 20 s/5 m loop, or the km-soak expanding "
+                         "spiral (new ground every lap, each lap in "
+                         "closure range of the previous)")
     args = ap.parse_args()
+    import functools
+
+    pose = {"default": None,
+            "loop": functools.partial(synthetic.loop_pose_of,
+                                      period=20.0, radius=5.0),
+            "spiral": synthetic.spiral_pose_of}[args.pose]
     print(write_fixture(args.out, duration=args.duration, hold=args.hold,
-                        n_points=args.n_points, seed=args.seed))
+                        n_points=args.n_points, seed=args.seed,
+                        pose_fn=pose))
 
 
 if __name__ == "__main__":
