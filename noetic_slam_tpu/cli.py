@@ -293,18 +293,56 @@ def cmd_live(args) -> int:
 
     cfg = load_config(args.config)
     info = SensorInfo.from_json(open(args.metadata).read())
-    slam = SlamSystem(cfg, enable_tsdf=not args.no_tsdf)
+    slam = SlamSystem(cfg, enable_tsdf=not args.no_tsdf, pipelined=True)
+    highrate = []
+    if args.pose_rate > 0:
+        # IMU-rate pose output (the reference publishes odom/pose at
+        # ~100 Hz from its IMU callback + timer, odom.cc:315-488): the
+        # host extrapolator serves pose queries between scans from the
+        # buffered IMU samples (runtime/poseext.py) with zero device
+        # traffic. Collected here; a live consumer would query
+        # slam.pose_at(t) directly.
+        slam.enable_pose_extrapolation()
     drv = LiveDriver(slam, info, lidar_port=args.lidar_port,
                      imu_port=args.imu_port,
                      timestamp_mode=args.timestamp_mode)
     print(f"listening on udp {args.lidar_port}/{args.imu_port} "
           f"({info.pixels_per_column}x{info.columns_per_frame})")
     try:
-        drv.run(duration_s=args.duration)
+        if args.pose_rate > 0:
+            import time as _t
+
+            period = 1.0 / args.pose_rate
+            next_q = None
+            t0 = _t.monotonic()
+            while args.duration is None or _t.monotonic() - t0 < args.duration:
+                drv.poll_once()
+                ex = slam.extrapolator
+                if ex is not None and ex.seed_stamp is not None:
+                    if next_q is None:
+                        next_q = ex.seed_stamp
+                    # serve every due stamp up to the newest IMU sample
+                    horizon = (slam.odometry._imu_stamps[-1]
+                               if len(slam.odometry._imu_stamps) else None)
+                    while horizon is not None and next_q <= horizon:
+                        q, p = slam.pose_at(next_q)
+                        highrate.append((next_q, *p, *q))
+                        next_q += period
+        else:
+            drv.run(duration_s=args.duration)
     except KeyboardInterrupt:
         pass
     finally:
         drv.close()
+    if highrate:
+        import numpy as np
+
+        from noetic_slam_tpu.io.export import write_tum_trajectory
+
+        out = args.pose_out or "pose_highrate.tum"
+        write_tum_trajectory(out, np.asarray(highrate))
+        print(f"high-rate pose: {len(highrate)} samples @ "
+              f"{args.pose_rate:.0f} Hz -> {out}")
     print(f"scans={drv.n_scans} imu={drv.n_imu} "
           f"dropped={drv.source.lidar_dropped if drv.source else 0}")
     return 0
@@ -602,6 +640,13 @@ def main(argv=None) -> int:
     pl.add_argument("--duration", type=float, default=None)
     pl.add_argument("--config", default=None)
     pl.add_argument("--no-tsdf", action="store_true")
+    pl.add_argument("--pose-rate", type=float, default=100.0,
+                    help="IMU-rate pose output frequency [Hz] (host "
+                         "extrapolator between scans; 0 = off). The "
+                         "reference's 100 Hz publishPose role "
+                         "(odom.cc:315-488)")
+    pl.add_argument("--pose-out", default=None,
+                    help="high-rate pose TUM output path")
     pl.set_defaults(fn=cmd_live)
 
     pp = sub.add_parser("player", help="interactive dataset player "

@@ -165,7 +165,7 @@ class CapacityConfig:
     # submap point capacity = max_submap_kf * max_kf_points
     max_trajectory: int = 16384        # device trajectory ring (flush before
                                        # this many processed scans)
-    outbox_slots: int = 32             # keyframe outbox ring (device->host
+    outbox_slots: int = 64             # keyframe outbox ring (device->host
                                        # hand-off: every keyframe ever
                                        # created is written here regardless
                                        # of store eviction; the host must

@@ -216,9 +216,19 @@ class KeyframeArchive:
                                            max_weight=tsdf_mod.NO_CLAMP)
             self.volume = tsdf_mod.init_tsdf(self.cfg)
         # Stacked host storage (insertion-ordered; _idx maps node -> row).
+        # _q/_p are the FUSE-time poses (the signed-subtract on a later
+        # move must replay the exact pose each cloud was fused at);
+        # _q_exact/_p_exact mirror the graph's CURRENT optimized pose for
+        # every entry, updated on every apply_poses regardless of the
+        # re-fusion eps — closure math against archived entries must use
+        # these (the <=eps fuse-pose lag, compounded over a hundred
+        # archived-candidate closures, warped the r5 km soak's ATE from
+        # 0.06 m to 1.8 m).
         self._idx: Dict[int, int] = {}
         self._q = np.zeros((0, 4), np.float32)
         self._p = np.zeros((0, 3), np.float32)
+        self._q_exact = np.zeros((0, 4), np.float32)
+        self._p_exact = np.zeros((0, 3), np.float32)
         self._xyz = np.zeros((0, 0, 3), np.int16)
         self._scale = np.zeros((0,), np.float32)
         self._valid = np.zeros((0, 0), bool)
@@ -246,6 +256,8 @@ class KeyframeArchive:
         grow = lambda a, fill=0: np.concatenate(
             [a, np.full((new_cap - cap,) + a.shape[1:], fill, a.dtype)])
         self._q, self._p = grow(self._q), grow(self._p)
+        self._q_exact, self._p_exact = grow(self._q_exact), \
+            grow(self._p_exact)
         self._xyz, self._scale = grow(self._xyz), grow(self._scale)
         self._valid = grow(self._valid, False)
 
@@ -258,9 +270,18 @@ class KeyframeArchive:
             self._n += 1
         self._q[i] = np.asarray(e.q, np.float32)
         self._p[i] = np.asarray(e.p, np.float32)
+        self._q_exact[i] = np.asarray(e.q, np.float32)
+        self._p_exact[i] = np.asarray(e.p, np.float32)
         self._xyz[i] = np.asarray(e.xyz_q, np.int16)
         self._scale[i] = float(e.scale)
         self._valid[i] = np.asarray(e.valid, bool)
+
+    def pose_of(self, node: int):
+        """(q, p) copies of the entry's EXACT (optimizer-current) pose —
+        what closure math must use; entries[node].q/.p are the fuse-time
+        poses, which lag the graph by up to the apply_poses eps."""
+        i = self._idx[int(node)]
+        return self._q_exact[i].copy(), self._p_exact[i].copy()
 
     # ------------------------------------------------------------- ingest
     def add(self, node: int, q, p, xyz_world, valid) -> None:
@@ -302,6 +323,7 @@ class KeyframeArchive:
                                    ).astype(np.int16)
             self._scale[i] = scale
             self._q[i], self._p[i], self._valid[i] = qs[k], ps[k], valid[k]
+            self._q_exact[i], self._p_exact[i] = qs[k], ps[k]
         self._dispatch_fuse(rows, self._q[rows], self._p[rows],
                             np.ones((B,), np.float32))
 
@@ -335,6 +357,11 @@ class KeyframeArchive:
         nodes, rows = nodes[keep], rows[keep]
         nq = np.asarray(node_q, np.float32)[nodes]
         npos = np.asarray(node_p, np.float32)[nodes]
+        # exact-pose mirror: EVERY entry tracks the optimizer's current
+        # estimate (closure math reads pose_of); only the fuse decision
+        # below is eps-gated
+        self._q_exact[rows] = nq
+        self._p_exact[rows] = npos
         dt = np.linalg.norm(npos - self._p[rows], axis=-1)
         # angle via |<q1,q2>|: 1 - |dot| ~ theta^2/8 for small theta
         dots = np.abs(np.sum(nq * self._q[rows], axis=-1))
@@ -428,6 +455,8 @@ class KeyframeArchive:
             "nodes": nodes,
             "q": self._q[rows].copy(),
             "p": self._p[rows].copy(),
+            "q_exact": self._q_exact[rows].copy(),
+            "p_exact": self._p_exact[rows].copy(),
             "xyz_q": self._xyz[rows].copy(),
             "scale": self._scale[rows].copy(),
             "valid": self._valid[rows].copy(),
@@ -457,6 +486,11 @@ class KeyframeArchive:
             self._idx[int(node)] = i
         self._q[:B] = np.asarray(data["q"], np.float32)
         self._p[:B] = np.asarray(data["p"], np.float32)
+        # pre-exact-mirror checkpoints fall back to the fuse poses
+        self._q_exact[:B] = np.asarray(data.get("q_exact", data["q"]),
+                                       np.float32)
+        self._p_exact[:B] = np.asarray(data.get("p_exact", data["p"]),
+                                       np.float32)
         self._xyz[:B] = np.asarray(data["xyz_q"], np.int16)
         self._scale[:B] = np.asarray(data["scale"], np.float32)
         self._valid[:B] = np.asarray(data["valid"], bool)

@@ -131,7 +131,8 @@ class SlamSystem:
                  archive_eps_r: float | None = None,
                  use_descriptors: bool = True,
                  desc_min_score: float = 0.55,
-                 pipelined: bool = False):
+                 pipelined: bool = False,
+                 min_closure_correction: float | None = None):
         self.cfg = cfg or DlioConfig()
         self.odometry = OdometryPipeline(self.cfg, with_tsdf=enable_tsdf)
         self.enable_tsdf = enable_tsdf
@@ -199,6 +200,25 @@ class SlamSystem:
         self.drift_budget_frac = drift_budget_frac
         self.drift_budget_min = drift_budget_min
         self.loop_rejected_budget = 0
+        # Minimum correction to APPLY a verified closure (default a tenth
+        # of a voxel). A closure whose correction is far below the map's
+        # resolution carries no information the estimate doesn't already
+        # have, but each apply costs a global optimize + O(moved) archive
+        # re-fusion — on the km soak, self-similar spiral rings verified
+        # ~2 closures per attempt at 1-3 cm each and the applies became
+        # the top steady-state cost. Skipped ones count in
+        # loop_skipped_small.
+        if min_closure_correction is None:
+            if enable_tsdf:
+                mcfg2 = (self.cfg.occupancy
+                         if self.cfg.map_backend == "occupancy"
+                         else self.cfg.tsdf)
+                min_closure_correction = 0.1 * mcfg2.voxel_size
+            else:
+                min_closure_correction = 0.02
+        self.min_closure_correction = min_closure_correction
+        self.loop_skipped_small = 0
+        self._attempt_raced = False
         # The pose graph outlives the bounded keyframe store: node capacity
         # covers keyframes EVER created, not just resident ones (the store
         # evicts once full — models.odometry.push_keyframe). _slot_node maps
@@ -220,7 +240,13 @@ class SlamSystem:
         # the scan count at dispatch (to tell a still-fresh pending fetch
         # from a stale one).
         self._pending_sync = None
-        self._gather_k = min(self.cfg.capacity.outbox_slots, 16)
+        # Gather window: sized so the common sync cadence (every 1-2
+        # batches) always lands inside it; overruns fall back to the
+        # blocking two-phase drain (_sync_blocking — correct but slow),
+        # and only gaps beyond outbox_slots lose keyframes (the r5 km
+        # soak lost 40 when sync rode the closure cadence through 30-scan
+        # cooldowns — drivers must sync on their OWN cadence).
+        self._gather_k = min(self.cfg.capacity.outbox_slots, 24)
         # pipelined=True: maybe_close_loop uses sync_pipelined() (detection
         # on one-cadence-stale metadata, fetch overlapped with device
         # work) — the real-time drivers' mode. Default False keeps the
@@ -412,6 +438,14 @@ class SlamSystem:
         s_w = jax.ShapeDtypeStruct((), f32)
         _add_edge_jit.lower(av, s_i, s_i, s_q, s_p,
                             w_rot=s_w, w_trans=s_w).compile()
+        # the node/edge-chain append is capacity-keyed per padded-batch
+        # bucket too (pg._add_chain static m) — its recompiles were the
+        # residual slow-growth-window cost after the solver pre-warm
+        for m in (4, 8, 16):
+            pg._add_chain.lower(
+                av, jax.ShapeDtypeStruct((m, 4), f32),
+                jax.ShapeDtypeStruct((m, 3), f32), s_i, s_q, s_p,
+                m=m, have_prev=True).compile()
         # NOTE: static kwargs must match the closure path's calls EXACTLY
         # including explicitly-passed defaults — jit caches
         # omitted-default and explicit-default separately.
@@ -820,39 +854,71 @@ class SlamSystem:
                 self._pending_desc = (nodes_q, handle)
                 self._last_desc_query_node = int(nodes_q[-1])
 
-        # --- 2) proximity candidate (resident store) ---
-        cand, prox_ok = pg.detect_loop_candidate_np(
-            kf_p_h, seq, kh["count"], cur, self.loop_radius,
-            self.loop_min_gap)
-        if prox_ok:
-            if cand in self._slot_node:
-                if self._attempt_closure(
-                        cur, cur_node, self._slot_node[cand],
-                        st.kf_xyz[cand], st.kf_cov[cand],
-                        kh["q"][cand], kf_p_h[cand],
-                        guard_slots=((cur, int(seq[cur])),
-                                     (cand, int(seq[cand])))):
-                    return True
+        # --- 2) proximity candidate (resident store). One retry after an
+        # EXACT resync when the attempt lost its seq-guard race (stale
+        # metadata + a busy evictor made ~30% of km-soak proximity
+        # attempts race; the race is bookkeeping, not geometry, and
+        # falling through to the heavier archived-descriptor path wasted
+        # the cheap closure) ---
+        for _retry in range(2):
+            cand, prox_ok = pg.detect_loop_candidate_np(
+                kf_p_h, seq, kh["count"], cur, self.loop_radius,
+                self.loop_min_gap)
+            if not (prox_ok and cand in self._slot_node):
+                break
+            if self._attempt_closure(
+                    cur_node, self._slot_node[cand],
+                    st.kf_xyz[cur], st.kf_valid[cur], st.kf_cov[cur],
+                    kh["q"][cur], kf_p_h[cur],
+                    st.kf_xyz[cand], st.kf_cov[cand],
+                    kh["q"][cand], kf_p_h[cand],
+                    guard_slots=((cur, int(seq[cur])),
+                                 (cand, int(seq[cand])))):
+                return True
+            if not self._attempt_raced:
+                break
+            self.sync_graph()            # exact: refresh metadata + guards
+            kh = self._kf_host
+            seq, kf_p_h = kh["seq"], kh["p"]
+            cur = int(np.argmax(seq))
+            if cur not in self._slot_node:
+                break
+            cur_node = self._slot_node[cur]
 
         # --- 3) descriptor candidate attempts (two consecutive keyframes
         # matching the same historical place — a single-frame match in
         # self-similar environments is how aliases slip through: observed
         # in the tiny-soak room, where a first-lap alias closure passed
         # every local gate and tripled the ATE) ---
+        if matched and self.pipelined:
+            # Descriptor matches are ONE-SHOT (the drain moves past them):
+            # a seq-guard race would silently discard a recovery closure —
+            # the exact failure mode in the drift-soak bring-up, where all
+            # 3 revisit matches raced on evicted slots and the run never
+            # recovered. Re-establish exact metadata first (rare path:
+            # temporally-consistent matches only appear at real revisits).
+            self.sync_graph()
+            kh = self._kf_host
         for n, cand, shift in matched:
-            slot = self._node_slot.get(n)
-            if slot is None:
-                continue            # source keyframe already evicted
-            (cand_xyz, cand_cov, cand_q, cand_p,
+            # BOTH sides may live in the archive by now (the resident
+            # store evicts; a drift-scale revisit arrives many hundreds
+            # of keyframes after the matched places were created)
+            (cur_xyz2, cur_cov2, cur_q2, cur_p2, cur_valid2,
+             cur_guard) = self._candidate_data(n)
+            if cur_xyz2 is None:
+                continue
+            (cand_xyz, cand_cov, cand_q, cand_p, _cand_valid,
              cand_guard) = self._candidate_data(cand)
             if cand_xyz is None:
                 continue
-            guards = ((slot, int(kh["seq"][slot])),)
-            if cand_guard is not None:
-                guards = guards + (cand_guard,)
+            guards = tuple(g for g in (cur_guard, cand_guard)
+                           if g is not None)
             if self._attempt_descriptor_closure(
-                    slot, n, cand, shift, cand_xyz, cand_cov, cand_q,
-                    cand_p, guards):
+                    n, cand, shift,
+                    cur_xyz2, cur_valid2, cur_cov2, cur_q2, cur_p2,
+                    cand_xyz, cand_cov, cand_q, cand_p, guards,
+                    cand_archived=cand_guard is None,
+                    cur_archived=cur_guard is None):
                 return True
         return False
 
@@ -875,9 +941,13 @@ class SlamSystem:
                 continue    # not yet temporally consistent
             matched.append((n, cand, shift))
 
-    def _attempt_descriptor_closure(self, slot, node, cand, shift,
+    def _attempt_descriptor_closure(self, node, cand, shift,
+                                    cur_xyz, cur_valid, cur_cov,
+                                    cur_q, cur_p,
                                     cand_xyz, cand_cov, cand_q,
-                                    cand_p, guard_slots=()) -> bool:
+                                    cand_p, guard_slots=(),
+                                    cand_archived: bool = False,
+                                    cur_archived: bool = False) -> bool:
         """Seed GICP with the descriptor's yaw shift and run the common
         verification/gating: R_true = R_cand Rz(psi), psi = 2 pi shift/S
         (models/placedesc geometry). All-host math (make_se3_np): the
@@ -889,56 +959,68 @@ class SlamSystem:
         psi = 2.0 * np.pi * shift / N_SECTORS
         if psi > np.pi:
             psi -= 2.0 * np.pi
-        kh = self._kf_host
-        kq_u, kp_u = kh["q"][slot], kh["p"][slot]
         Rz = np.eye(4, dtype=np.float32)
         Rz[0, 0] = Rz[1, 1] = np.cos(psi)
         Rz[0, 1], Rz[1, 0] = -np.sin(psi), np.sin(psi)
         T_cand = make_se3_np(cand_q, cand_p)
-        T_est = make_se3_np(kq_u, kp_u)
+        T_est = make_se3_np(cur_q, cur_p)
         guess = (T_cand @ Rz @ np.linalg.inv(T_est)).astype(np.float32)
         applied = self._attempt_closure(
-            slot, node, cand, cand_xyz, cand_cov, cand_q, cand_p,
-            guess=guess, source="descriptor", guard_slots=guard_slots)
+            node, cand, cur_xyz, cur_valid, cur_cov, cur_q, cur_p,
+            cand_xyz, cand_cov, cand_q, cand_p,
+            guess=guess, source="descriptor", guard_slots=guard_slots,
+            cand_archived=cand_archived, cur_archived=cur_archived)
         if applied:
             self.loop_closures_descriptor += 1
         return applied
 
     def _candidate_data(self, node: int):
-        """Cloud + covariances + pose + device seq guard of a candidate
-        graph node: from the resident store when the slot is live (guard =
-        (slot, expected seq) for _attempt_closure's race check), else
-        dequantized from the archive (host data — no guard needed;
-        covariances recomputed on device at closure rate)."""
+        """Cloud + covariances + pose + validity + device seq guard of a
+        graph node (either side of a closure): from the resident store
+        when the slot is live (guard = (slot, expected seq) for
+        _attempt_closure's race check), else dequantized from the archive
+        (host data — no guard needed; covariances recomputed on device at
+        closure rate). The archive path is what makes descriptor closures
+        EVICTION-robust on both ends: at drift-soak scale the matched
+        source keyframes are themselves already out of the resident
+        store."""
         st = self.odometry.state
         slot = self._node_slot.get(node)
         if slot is not None:
             kh = self._kf_host
             return (st.kf_xyz[slot], st.kf_cov[slot],
-                    kh["q"][slot], kh["p"][slot],
+                    kh["q"][slot], kh["p"][slot], st.kf_valid[slot],
                     (slot, int(kh["seq"][slot])))
         if self.archive is None or node not in self.archive.entries:
-            return None, None, None, None, None
+            return None, None, None, None, None, None
         from noetic_slam_tpu.ops import gicp as gicp_ops
         from noetic_slam_tpu.utils.geometry import quat_to_mat
 
         e = self.archive.entries[node]
-        q_j = jnp.asarray(e.q)
+        # EXACT (optimizer-current) pose, not the eps-lagged fuse pose:
+        # the cloud is reconstructed at the same pose the closure math
+        # uses, so the loop-edge measurement is consistent with the graph
+        q_ex, p_ex = self.archive.pose_of(node)
         local = jnp.asarray(e.xyz_q).astype(jnp.float32) * jnp.float32(
             e.scale)
-        world = local @ quat_to_mat(q_j).T + jnp.asarray(e.p)
+        world = local @ quat_to_mat(jnp.asarray(q_ex)).T + jnp.asarray(p_ex)
         valid = jnp.asarray(e.valid)
         world = jnp.where(valid[:, None], world, 1e6)   # mask padded rows
         cov, _ = gicp_ops.plane_covariances(world, valid,
                                             self.cfg.gicp.k_correspondences)
-        return world, cov, e.q, e.p, None
+        return world, cov, q_ex, p_ex, valid, None
 
-    def _attempt_closure(self, cur: int, cur_node: int, cand_node: int,
+    def _attempt_closure(self, cur_node: int, cand_node: int,
+                         cur_xyz, cur_valid, cur_cov, cur_q, cur_p,
                          cand_xyz, cand_cov, cand_q, cand_p,
                          guess=None, source: str = "proximity",
-                         guard_slots=()) -> bool:
-        """Verify one candidate and, if it passes every gate, apply the
-        closure (loop edge + optimize + map deformation).
+                         guard_slots=(), cand_archived: bool = False,
+                         cur_archived: bool = False) -> bool:
+        """Verify one candidate pair and, if it passes every gate, apply
+        the closure (loop edge + optimize + map deformation). Source and
+        candidate data both come from _candidate_data-style tuples, so
+        either side may be resident-store device arrays OR
+        archive-dequantized clouds (eviction-robust closures).
 
         ``guard_slots``: ((slot, expected_seq), ...) device-side seq
         guards folded into the verification verdict: under pipelined sync
@@ -947,10 +1029,6 @@ class SlamSystem:
         inconsistent — the attempt must read as rejected (counted in
         ``loop_raced``), not gamble on the GICP gates."""
         st = self.odometry.state
-        with self.stages("closure_gather_cur"):
-            cur_xyz = st.kf_xyz[cur]
-            cur_valid = st.kf_valid[cur]
-            cur_cov = st.kf_cov[cur]
         vcfg = self._verify_cfg()
         with self.stages("closure_verify"):
             T_corr, accepted = pg.verify_loop(
@@ -972,7 +1050,8 @@ class SlamSystem:
             # the edge construction is host numpy (make_se3_np/...).
             accepted, seq_ok, Tc = jax.device_get(
                 (accepted, seq_ok, T_corr))
-        if not bool(seq_ok):
+        self._attempt_raced = not bool(seq_ok)
+        if self._attempt_raced:
             self.loop_raced += 1
             return False
         if not bool(accepted):
@@ -991,8 +1070,7 @@ class SlamSystem:
         # corrected-current.
         from noetic_slam_tpu.utils.geometry import make_se3_np, mat_to_quat_np
 
-        kh = self._kf_host
-        kq_u, kp_u = kh["q"][cur], kh["p"][cur]
+        kq_u, kp_u = np.asarray(cur_q), np.asarray(cur_p)
         T_fix = np.asarray(Tc) @ make_se3_np(kq_u, kp_u)
         q_fix, p_fix = mat_to_quat_np(T_fix[:3, :3]), T_fix[:3, 3]
 
@@ -1010,6 +1088,9 @@ class SlamSystem:
         correction = float(np.linalg.norm(np.asarray(p_fix) - kp_u))
         if correction > budget:
             self.loop_rejected_budget += 1
+            return False
+        if correction < self.min_closure_correction:
+            self.loop_skipped_small += 1     # verified but uninformative
             return False
 
         # Host-numpy relative measurement (quaternion sign is irrelevant:
@@ -1050,6 +1131,12 @@ class SlamSystem:
         t3 = _time.perf_counter()
         self.closure_log.append({
             "source": source,
+            # True when the candidate's/source's cloud came from the
+            # ARCHIVE (its resident slot was evicted) — the
+            # eviction-robustness case place recognition exists for
+            # (models/placedesc docstring)
+            "cand_archived": cand_archived,
+            "cur_archived": cur_archived,
             "cand_node": int(cand_node), "cur_node": int(cur_node),
             "correction_m": round(correction, 4),
             "moved_keyframes": moved,
@@ -1159,6 +1246,7 @@ class SlamSystem:
                 "loop_closures_descriptor": self.loop_closures_descriptor,
                 "loop_rejected_budget": self.loop_rejected_budget,
                 "loop_raced": self.loop_raced,
+                "loop_skipped_small": self.loop_skipped_small,
                 "sync_lost_keyframes": self.sync_lost_keyframes,
                 "last_kf_pose": (None if lkp is None else
                                  [np.asarray(lkp[0]).tolist(),
@@ -1184,6 +1272,7 @@ class SlamSystem:
             s.get("loop_closures_descriptor", 0))
         self.loop_rejected_budget = int(s.get("loop_rejected_budget", 0))
         self.loop_raced = int(s.get("loop_raced", 0))
+        self.loop_skipped_small = int(s.get("loop_skipped_small", 0))
         self.sync_lost_keyframes = int(s.get("sync_lost_keyframes", 0))
         lkp = s.get("last_kf_pose")
         self._last_kf_pose = (None if lkp is None else

@@ -126,9 +126,12 @@ def _numeric_imu(t, dt=1e-4, pose_fn=None):
 
 
 def make_world(rng, extent=30.0, n=20000) -> np.ndarray:
-    """Structured world: ground plane, boundary walls, scattered boxes."""
+    """Structured world: ground plane, boundary walls, scattered boxes
+    (box count scales with area so big worlds keep local landmarks —
+    place recognition needs distinctive geometry everywhere)."""
     pts = []
     m = n // 4
+    n_boxes = max(12, int(12 * (extent / 30.0) ** 2))
     # ground
     g = np.c_[rng.uniform(-extent, extent, m), rng.uniform(-extent, extent, m),
               np.zeros(m)]
@@ -141,11 +144,11 @@ def make_world(rng, extent=30.0, n=20000) -> np.ndarray:
         pts.append(np.c_[rng.uniform(-extent, extent, m // 2), np.full(m // 2, s),
                          rng.uniform(0, 5, m // 2)])
     # boxes
-    for _ in range(12):
+    for _ in range(n_boxes):
         c = rng.uniform(-extent * 0.7, extent * 0.7, 2)
         w, h = rng.uniform(0.5, 2.0, 2)
         face = rng.integers(0, 3)
-        q = n // 48
+        q = max(n // (4 * n_boxes), 16)
         u = rng.uniform(-w, w, q)
         v = rng.uniform(0, h, q)
         if face == 0:
@@ -158,15 +161,116 @@ def make_world(rng, extent=30.0, n=20000) -> np.ndarray:
     return np.concatenate(pts).astype(np.float32)
 
 
+def path_pose_of(segments, v=2.0, start_xy=(0.0, 0.0), start_yaw=0.0):
+    """Pose function for a tangent-continuous piecewise path driven at
+    constant speed ``v``: segments are ("straight", length_m) or
+    ("arc", radius_m, angle_rad) with angle > 0 turning left, < 0 right.
+    Each segment starts where (and heading how) the previous one ended,
+    so IMU synthesized by numeric differentiation stays finite (heading
+    is C0-continuous; lateral acceleration steps at junctions like a real
+    vehicle's steering input). Returns pose_fn(t) -> (R, p); time past
+    the last segment continues straight. Used by the drift-recovery and
+    corridor soaks to script revisit topologies (excursion + return leg)
+    that closed-form circles/spirals cannot express."""
+    # precompute segment start states
+    starts = []                 # (s0, x, y, yaw)
+    x, y, yaw = float(start_xy[0]), float(start_xy[1]), float(start_yaw)
+    s0 = 0.0
+    for seg in segments:
+        starts.append((s0, x, y, yaw))
+        if seg[0] == "straight":
+            length = float(seg[1])
+            x += length * np.cos(yaw)
+            y += length * np.sin(yaw)
+            s0 += length
+        else:
+            r, ang = float(seg[1]), float(seg[2])
+            sgn = 1.0 if ang >= 0 else -1.0
+            cx = x - sgn * r * np.sin(yaw)
+            cy = y + sgn * r * np.cos(yaw)
+            yaw2 = yaw + ang
+            x = cx + sgn * r * np.sin(yaw2)
+            y = cy - sgn * r * np.cos(yaw2)
+            yaw = yaw2
+            s0 += r * abs(ang)
+    total = s0
+    end_state = (x, y, yaw)
+
+    def fn(t):
+        s = float(t) * v
+        if s >= total:
+            x0, y0, yaw0 = end_state
+            d = s - total
+            px, py = x0 + d * np.cos(yaw0), y0 + d * np.sin(yaw0)
+            yawp = yaw0
+        else:
+            # find segment (few segments: linear scan)
+            k = 0
+            for k in range(len(segments) - 1, -1, -1):
+                if s >= starts[k][0]:
+                    break
+            s0k, x0, y0, yaw0 = starts[k]
+            ds = s - s0k
+            seg = segments[k]
+            if seg[0] == "straight":
+                px = x0 + ds * np.cos(yaw0)
+                py = y0 + ds * np.sin(yaw0)
+                yawp = yaw0
+            else:
+                r, ang = float(seg[1]), float(seg[2])
+                sgn = 1.0 if ang >= 0 else -1.0
+                cx = x0 - sgn * r * np.sin(yaw0)
+                cy = y0 + sgn * r * np.cos(yaw0)
+                yawp = yaw0 + sgn * ds / r
+                px = cx + sgn * r * np.sin(yawp)
+                py = cy - sgn * r * np.cos(yawp)
+        p = np.array([px, py, 0.02 * np.sin(0.7 * float(t))])
+        cy_, sy_ = np.cos(yawp), np.sin(yawp)
+        Rz = np.array([[cy_, -sy_, 0], [sy_, cy_, 0], [0, 0, 1]])
+        return Rz, p
+
+    fn.total_length = total
+    fn.duration_at_speed = total / v
+    return fn
+
+
+def ramp_start(pose_fn, ramp_s: float = 1.5):
+    """C1 start-velocity ramp: pose_fn assumed parameterized at constant
+    speed from t=0; the wrapper holds still at t<=0 and accelerates
+    quadratically over ``ramp_s`` seconds (a step from rest to cruise
+    speed at t=0 is an unphysical impulse the observer has to absorb —
+    measured ~2.5 m of immediate error on the drift-soak path)."""
+    def fn(t):
+        u = float(t)
+        if u <= 0.0:
+            tau = 0.0
+        elif u <= ramp_s:
+            tau = u * u / (2.0 * ramp_s)
+        else:
+            tau = u - ramp_s / 2.0
+        return pose_fn(tau)
+    return fn
+
+
 def make_sim(duration=3.0, imu_hz=100.0, scan_hz=10.0, n_points=2048,
              max_range=45.0, calib_time=0.0, seed=0, pose_fn=None,
-             imu_noise=0.0) -> Sim:
+             imu_noise=0.0, imu_gyro_ramp=None, world_extent=30.0,
+             world_n=20000, world_pts=None) -> Sim:
     """Build a simulation. ``calib_time`` seconds of stationary IMU samples
     (pure gravity) are prepended for the static calibration procedure.
     ``pose_fn`` overrides the trajectory (e.g. ``loop_pose_of``);
-    ``imu_noise`` adds white noise to gyro/accel (drift injection)."""
+    ``imu_noise`` adds white noise to gyro/accel (drift injection).
+    ``imu_gyro_ramp`` (3,) rad/s per second: a slowly growing gyro bias
+    applied AFTER the static calibration window — the drift-injection
+    knob for the descriptor-recovery soak (a constant bias would be
+    absorbed by the static calibration; a ramp outruns the observer's
+    bias tracking and accumulates multi-meter position drift).
+    ``world_extent``/``world_n`` size the world for long excursions;
+    ``world_pts`` ((W, 3) float32) overrides the generated world entirely
+    (scenario-specific geometry, e.g. the drift soak's street canyon)."""
     rng = np.random.default_rng(seed)
-    world = make_world(rng)
+    world = (np.asarray(world_pts, np.float32) if world_pts is not None
+             else make_world(rng, extent=world_extent, n=world_n))
     fn = pose_fn or _pose_of
 
     imu_t = np.arange(-calib_time, duration + 0.2, 1.0 / imu_hz)
@@ -182,6 +286,8 @@ def make_sim(duration=3.0, imu_hz=100.0, scan_hz=10.0, n_points=2048,
             if imu_noise > 0:
                 ang[i] += rng.normal(scale=imu_noise, size=3)
                 acc[i] += rng.normal(scale=imu_noise * 10, size=3)
+            if imu_gyro_ramp is not None:
+                ang[i] += np.asarray(imu_gyro_ramp, float) * t
 
     scan_t = np.arange(0.0, duration, 1.0 / scan_hz)
     gt_t = np.arange(0.0, duration + 0.1, 0.01)

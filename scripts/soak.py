@@ -112,8 +112,12 @@ def main():
     # pipelined=True: the real-time sync protocol (sync_pipelined /
     # device seq guards / fresh resync before closure application) —
     # the r4 blocking per-batch drain cost 31% of km-soak wall time.
+    # Tiny mode applies EVERY verified closure (floor 0): its healthy lap
+    # drifts only mm, and the CI twin must exercise the apply/archive
+    # path, not just the verify gates.
     slam = SlamSystem(cfg, enable_tsdf=True, enable_loop_closure=True,
-                      loop_radius=4.0, loop_min_gap=15, pipelined=True)
+                      loop_radius=4.0, loop_min_gap=15, pipelined=True,
+                      min_closure_correction=0.0 if tiny else None)
     if tiny:
         # force growth in the tiny regression too
         slam.graph = pg.init_graph(16, 16)
@@ -161,13 +165,15 @@ def main():
             chunk = [scans[i] for i in range(b0, min(b0 + K, hi))]
             feed(sys_, max(h + pt.max() for h, _, pt in chunk) + 0.02)
             sys_.process_scans([(h, x, p) for h, x, p in chunk])
-            if closures and os.environ.get("SOAK_BATCH_SYNC") == "1":
-                # optional batch-rate sync (default off: maybe_close_loop
-                # below syncs PIPELINED at closure-attempt cadence — 2
-                # batches = ~13 new keyframes, well inside the 32-slot
-                # outbox losslessness contract, and the extra cadence
-                # headroom lets the gather's D2H copy finish before the
-                # complete, instead of blocking on the device queue)
+            if closures and (b0 // K) % 2 == 1:
+                # PIPELINED sync every 2nd batch, UNCONDITIONALLY — the
+                # sync cadence must not ride the closure-attempt cadence:
+                # closure cooldowns (30 scans) stacked with attempt gaps
+                # let the un-drained span exceed the outbox ring in the
+                # first r5 km soak (40 lost keyframes, ATE blown to 50 m).
+                # Two batches = ~10 new keyframes, well inside the gather
+                # window; the one-cadence staleness overlaps the fetch
+                # with device work.
                 sys_.sync_pipelined()
             if closures and (b0 - last_closure_scan >= cooldown) \
                     and (b0 % closure_every < K):
@@ -399,6 +405,7 @@ def main():
         "loop_closures_applied": slam.loop_closures,
         "loop_closures_descriptor": slam.loop_closures_descriptor,
         "loop_rejected_budget": slam.loop_rejected_budget,
+        "loop_skipped_small": slam.loop_skipped_small,
         "closure_log": blocks_log,
         "closure_seconds_p95": round(closure_p95, 3),
         "archived_keyframes": len(slam.archive) if slam.archive else 0,
