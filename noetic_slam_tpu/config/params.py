@@ -89,6 +89,15 @@ class GicpConfig:
     # neighborhoods (nano_gicp.cc:330-392).
     cov_engine: str = "radius"
     cov_radius: float = 0.5            # [m] neighborhood radius for "radius"
+    # Per-scan registration sanity bound [m]: a scan-to-map correction
+    # beyond this is a degenerate-geometry failure (on feature-poor
+    # stretches the GICP cost is flat along the ground plane and LM can
+    # slide meters sideways in one solve — measured 13-40 m/s estimate
+    # jumps, then an observer velocity runaway to NaN), not information.
+    # The step falls back to the IMU prior for that scan (the reference's
+    # prior-only degradation role, odom.cc:677-685). At 10 Hz the honest
+    # correction is centimeters; 1.0 m is ~100x margin. <= 0 disables.
+    max_correction: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -101,6 +110,14 @@ class GeoConfig:
     Kgb: float = 1.0
     abias_max: float = 5.0
     gbias_max: float = 0.5
+    # Observer velocity clamp [m/s]: with registration feedback lost
+    # (degenerate geometry rejecting every scan via gicp.max_correction),
+    # the velocity would integrate accel error unboundedly (measured: an
+    # 80 m/s glide into km-scale estimate excursions). The clamp bounds
+    # the failure radius so place recognition can still recover the pose.
+    # <= 0 disables. The reference has no equivalent (its analogous
+    # failure is unbounded).
+    max_velocity: float = 30.0
 
 
 @dataclass(frozen=True)

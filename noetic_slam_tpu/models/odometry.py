@@ -135,6 +135,8 @@ class OdomState(NamedTuple):
     # Bookkeeping
     num_scans: Array    # () int32 processed scans
     total_steps: Array  # () int32 step invocations (incl. skipped)
+    reg_rejected: Array # () int32 scans where the GICP correction failed
+                        # the max_correction sanity gate (prior-only)
 
 
 _QSENT = 32767          # int16 sentinel marking invalid/padded rows
@@ -274,6 +276,7 @@ def init_state(cfg: DlioConfig, q0=None, ba0=None, bg0=None) -> OdomState:
         traj=jnp.zeros((cap.max_trajectory, 12), f32),
         num_scans=jnp.int32(0),
         total_steps=jnp.int32(0),
+        reg_rejected=jnp.int32(0),
     )
 
 
@@ -295,8 +298,11 @@ def condition_imu(cfg: DlioConfig, stamps: Array, ang: Array, acc: Array,
     t = jnp.asarray(cfg.extrinsics.baselink2imu_t, jnp.float32)
     sm = jnp.asarray(cfg.imu.accel_sm, jnp.float32).reshape(3, 3)
 
-    w_cg = ang @ R.T
-    a_cg = acc @ R.T
+    # HIGHEST: bf16-default matmul would add ~1% multiplicative noise to
+    # every conditioned IMU sample — a synthetic per-sample bias/scale
+    # error the observer then has to track
+    w_cg = jnp.dot(ang, R.T, precision=jax.lax.Precision.HIGHEST)
+    a_cg = jnp.dot(acc, R.T, precision=jax.lax.Precision.HIGHEST)
     dts = jnp.maximum(jnp.diff(stamps, prepend=stamps[:1]), 1e-8)
     w_prev = jnp.concatenate([w_cg[:1], w_cg[:-1]], axis=0)
     wdot = (w_cg - w_prev) / dts[:, None]
@@ -304,7 +310,7 @@ def condition_imu(cfg: DlioConfig, stamps: Array, ang: Array, acc: Array,
             + jnp.cross(w_cg, jnp.cross(w_cg, -t[None, :])))
     # Bias/scale correction (odom.cc:960-966): accel scale matrix applies to
     # the extrinsically-rotated sample, then biases subtract.
-    a_corr = a_cg @ sm.T - ba
+    a_corr = jnp.dot(a_cg, sm.T, precision=jax.lax.Precision.HIGHEST) - ba
     w_corr = w_cg - bg
     return w_corr, a_corr
 
@@ -531,7 +537,8 @@ def alpha_boundary_mask(kf_pos: Array, active: Array, alpha: Array,
     centers = (kf_pos[:, None, :] + alpha * dirs[None, :, :]).reshape(-1, 3)
     # d2[i*D+j, k] = ||p_k - c_ij||^2
     d2 = (jnp.sum(centers ** 2, -1)[:, None]
-          - 2.0 * centers @ kf_pos.T
+          - 2.0 * jnp.dot(centers, kf_pos.T,
+                          precision=jax.lax.Precision.HIGHEST)
           + jnp.sum(kf_pos ** 2, -1)[None, :])
     d2 = jnp.where(active[None, :], d2, jnp.inf)
     # Open-ball emptiness with tolerance: a point at exactly alpha (incl.
@@ -728,6 +735,14 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
         q_prop, p_prop, v_prop = imu_ops.propagate_state_batch(
             state.q, state.p, state.v, prop_window, prop_window.count,
             cfg.gravity, start_exclusive=prop_start)
+        if cfg.geo.max_velocity > 0:
+            # bound the velocity runaway when registration feedback is
+            # lost (see GeoConfig.max_velocity)
+            vn = jnp.linalg.norm(v_prop)
+            v_prop = jnp.where(vn > cfg.geo.max_velocity,
+                               v_prop * (cfg.geo.max_velocity
+                                         / jnp.maximum(vn, 1e-9)),
+                               v_prop)
         # Propagation boundary = stamp of the LAST sample actually applied
         # (the first sample at/past the sweep end — already propagated when
         # the reference's updateState runs). Tracking the sample stamp, not
@@ -777,11 +792,26 @@ def make_odometry_step(cfg: DlioConfig, align_fn=None):
                 ds_xyz, ds_valid, src_cov, state.submap_xyz,
                 state.submap_cov, cfg.gicp, max_corr_dist=max_corr,
                 target_grid=grid, target_count=state.submap_count)
-            T_corr = res.T
+            # Degenerate-registration gate (cfg.gicp.max_correction): on
+            # feature-poor geometry the GICP cost is flat along the
+            # unconstrained direction and the solver can slide meters in
+            # one solve; accepting that walks the observer's velocity
+            # into a runaway (measured: 13-40 m/s jumps -> NaN). A
+            # correction beyond any physically plausible prior error is
+            # REJECTED and the scan falls back to the IMU prior — the
+            # reference's degraded prior-only mode (odom.cc:677-685).
+            if cfg.gicp.max_correction > 0:
+                reg_ok = (jnp.linalg.norm(res.T[:3, 3])
+                          < cfg.gicp.max_correction)
+            else:
+                reg_ok = jnp.array(True)
+            T_corr = jnp.where(reg_ok, res.T, jnp.eye(4, dtype=res.T.dtype))
             T_new = T_corr @ T_prior
             lq, lp = se3_q_p(T_new)       # propagateGICP, odom.cc:1230-1246
             st = state._replace(T=T_new, T_corr=T_corr, T_prior=T_prior,
-                                lidar_q=lq, lidar_p=lp)
+                                lidar_q=lq, lidar_p=lp,
+                                reg_rejected=state.reg_rejected
+                                + (1 - reg_ok.astype(jnp.int32)))
             st = geo_update(cfg, st, scan_stamp - prev_stamp)
 
             is_kf = keyframe_decision(st, threshD, cfg.keyframe.thresh_rot)

@@ -596,8 +596,12 @@ def apply_pose_update(kf_quat, kf_pos, kf_xyz, kf_valid, kf_cov,
     ok = jnp.arange(K) < kf_count
     dq = quat_normalize(quat_mul(new_q, quat_conj(kf_quat)))
     R = quat_to_mat(dq)                       # (K, 3, 3)
-    t = new_p - jnp.einsum("kij,kj->ki", R, kf_pos)
-    xyz = jnp.einsum("kij,knj->kni", R, kf_xyz) + t[:, None, :]
+    # HIGHEST: bf16-default TPU matmul quantizes far world coordinates to
+    # ~0.1 m — a rigid cloud deformation must not resample the geometry
+    t = new_p - jnp.einsum("kij,kj->ki", R, kf_pos,
+                           precision=jax.lax.Precision.HIGHEST)
+    xyz = jnp.einsum("kij,knj->kni", R, kf_xyz,
+                     precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     xyz = jnp.where((ok[:, None] & kf_valid)[..., None], xyz, kf_xyz)
     cov = gicp_ops.rotate_sym6(kf_cov, R[:, None, :, :])
     cov = jnp.where((ok[:, None] & kf_valid)[..., None], cov, kf_cov)

@@ -37,12 +37,19 @@ def deskew_points(scan: PreparedScan, frames_q: Array, frames_p: Array,
     """
     q = frames_q[scan.frame_idx]
     p = frames_p[scan.frame_idx]
-    local = scan.xyz @ R_ext.T + t_ext
+    # HIGHEST precision: TPU default matmul truncates f32 operands to
+    # bf16 (8-bit mantissa) — a 30 m coordinate quantizes to ~0.1 m,
+    # which silently degrades registration on weakly-constrained
+    # scenes (platform-divergent drift found in the r5 drift soak:
+    # the SAME scenario tracked on CPU and ran away on chip)
+    local = jnp.dot(scan.xyz, R_ext.T,
+                    precision=jax.lax.Precision.HIGHEST) + t_ext
     world = quat_rotate(q, local) + p
     return jnp.where(scan.valid[:, None], world, SENTINEL)
 
 
 def transform_cloud(xyz: Array, valid: Array, T: Array) -> Array:
     """Rigid transform of a masked cloud by a single 4x4 (sentinel preserved)."""
-    out = xyz @ T[:3, :3].T + T[:3, 3]
+    out = jnp.dot(xyz, T[:3, :3].T,
+                  precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
     return jnp.where(valid[:, None], out, SENTINEL)

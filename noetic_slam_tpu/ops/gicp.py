@@ -55,7 +55,9 @@ def mat_to_sym6(m: Array) -> Array:
 
 def rotate_sym6(c: Array, R: Array) -> Array:
     """R C R^T for compact covariances; R broadcastable (..., 3, 3)."""
-    return mat_to_sym6(R @ sym6_to_mat(c) @ jnp.swapaxes(R, -1, -2))
+    return mat_to_sym6(jnp.einsum(
+        "...ij,...jk,...lk->...il", R, sym6_to_mat(c), R,
+        precision=jax.lax.Precision.HIGHEST))
 
 
 def _inv3_sym(m: Array) -> Array:
@@ -278,7 +280,10 @@ def update_correspondences(src_xyz: Array, src_valid: Array, src_cov6: Array,
     With ``target_grid`` (ops.gridnn.Grid over tgt_xyz, cell >= the max
     correspondence distance) the search is grid-bucketed — exact for the
     thresholded correspondences GICP keeps; otherwise brute-force MXU NN."""
-    transed = src_xyz @ T[:3, :3].T + T[:3, 3]
+    # HIGHEST: bf16-default TPU matmul quantizes ~30 m coords to
+    # ~0.1 m (see deskew.transform_cloud note)
+    transed = jnp.dot(src_xyz, T[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
     if target_grid is not None:
         idx, sqd = gridnn.grid_nn1(transed, target_grid,
                                    max_per_cell=max_per_cell)
@@ -295,7 +300,8 @@ def update_correspondences(src_xyz: Array, src_valid: Array, src_cov6: Array,
     R = T[:3, :3]
     cov_a = sym6_to_mat(src_cov6)
     cov_b = sym6_to_mat(tgt_cov6[idx])
-    rcr = cov_b + R @ cov_a @ R.T
+    rcr = cov_b + jnp.einsum("ij,njk,lk->nil", R, cov_a, R,
+                             precision=jax.lax.Precision.HIGHEST)
     maha = _inv3_sym(rcr)
     w = accept.astype(src_xyz.dtype)
     maha = maha * w[:, None, None]
@@ -309,7 +315,10 @@ def linearize(src_xyz: Array, tgt_xyz: Array, corr: Correspondences,
     J = [skew(T p_src) | -I] (rows 0..2); H = sum J^T M J, b = sum J^T M e,
     e = p_tgt - T p_src. Accumulated in one einsum pass (MXU-friendly).
     """
-    transed = src_xyz @ T[:3, :3].T + T[:3, 3]
+    # HIGHEST: bf16-default TPU matmul quantizes ~30 m coords to
+    # ~0.1 m (see deskew.transform_cloud note)
+    transed = jnp.dot(src_xyz, T[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
     e = tgt_xyz[corr.tgt_idx] - transed               # (N, 3)
     J = jnp.concatenate(
         [skew(transed), -jnp.broadcast_to(jnp.eye(3, dtype=src_xyz.dtype),
@@ -328,7 +337,10 @@ def compute_error(src_xyz: Array, tgt_xyz: Array, corr: Correspondences,
                   T: Array) -> Array:
     """Sum of Mahalanobis errors at T with fixed correspondences
     (nano_gicp.cc:305-326)."""
-    transed = src_xyz @ T[:3, :3].T + T[:3, 3]
+    # HIGHEST: bf16-default TPU matmul quantizes ~30 m coords to
+    # ~0.1 m (see deskew.transform_cloud note)
+    transed = jnp.dot(src_xyz, T[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
     e = tgt_xyz[corr.tgt_idx] - transed
     return jnp.einsum("ni,nij,nj->", e, corr.maha, e,
                       precision=jax.lax.Precision.HIGHEST)

@@ -81,7 +81,8 @@ def _fuse_entry(cfg, vol, xyz_q, scale, valid, q, p, sign,
     system routes everything through ``_fuse_scan``)."""
     local = xyz_q.astype(jnp.float32) * scale
     R = quat_to_mat(q)
-    world = local @ R.T + p
+    world = jnp.dot(local, R.T,
+                    precision=jax.lax.Precision.HIGHEST) + p
     if backend == "occupancy":
         return occ_mod.integrate_signed(cfg, vol, world, valid, p, sign)
     return tsdf_mod.integrate_signed(cfg, vol, world, valid, p, sign)
@@ -113,7 +114,11 @@ def _fuse_scan(cfg, vol, xyz_q, scale, valid, q, p, sign,
         xq, sc, vv, qq, pp, sg = chunk
         local = xq.astype(jnp.float32) * sc[:, None, None]
         R = quat_to_mat(qq)                                  # (CH, 3, 3)
-        world = jnp.einsum("cnj,cij->cni", local, R) + pp[:, None, :]
+        # HIGHEST: bf16-default TPU matmul quantizes far coordinates to
+        # ~0.1 m (see deskew.transform_cloud note)
+        world = jnp.einsum("cnj,cij->cni", local, R,
+                           precision=jax.lax.Precision.HIGHEST
+                           ) + pp[:, None, :]
         if backend == "occupancy":
             pos, delta = jax.vmap(
                 lambda w, v, o: occ_mod._beam_samples(cfg, w, v, o))(

@@ -394,6 +394,7 @@ def main():
             >= 0.7 * float(np.median(steady[: len(steady) // 2])))
         if len(steady) >= 4 else (bool(steady[-1] >= 0.7 * max(steady))
                                   if steady else None),
+        "reg_rejected": int(jax.device_get(st.reg_rejected)),
         "kf_total": int(jax.device_get(st.kf_total)),
         "kf_resident_capacity": cfg.capacity.max_keyframes,
         "eviction_active": bool(int(jax.device_get(st.kf_total))

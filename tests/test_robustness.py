@@ -110,3 +110,43 @@ def test_duplicate_scan_stamp_no_nan():
     assert bool(jnp.all(jnp.isfinite(st.p)))
     assert bool(jnp.all(jnp.isfinite(st.q)))
     assert bool(jnp.all(jnp.isfinite(st.v)))
+
+
+@pytest.mark.slow
+def test_degenerate_registration_gate_bounds_failure():
+    """Feature-poor geometry (pure ground plane mid-run): the GICP cost
+    is flat along the plane and the solver can slide meters per solve.
+    The gicp.max_correction gate must reject such scans (prior-only
+    fallback, reg_rejected counts them) and geo.max_velocity must bound
+    the observer, so the state stays FINITE and the position excursion
+    stays bounded — the pre-gate failure mode was a velocity runaway into
+    NaN (soak_drift bring-up: 13-40 m/s jumps, km-scale glides)."""
+    import jax
+    import jax.numpy as jnp
+
+    # world = ground plane ONLY: every scan is translation-degenerate in
+    # the plane
+    rng = np.random.default_rng(9)
+    g = np.c_[rng.uniform(-60, 60, 30000), rng.uniform(-60, 60, 30000),
+              np.zeros(30000)].astype(np.float32)
+    sim = synthetic.make_sim(duration=4.0, n_points=1024, calib_time=3.1,
+                             seed=24, imu_noise=0.003, world_pts=g)
+    pipe = OdometryPipeline(small_cfg())
+    imu_i = 0
+    for s in range(len(sim.scan_stamps)):
+        header, xyz, pt = sim.scan(s)
+        sweep_end = header + pt.max()
+        while (imu_i < len(sim.imu_stamps)
+               and sim.imu_stamps[imu_i] <= sweep_end + 0.02):
+            pipe.push_imu(sim.imu_stamps[imu_i], sim.imu_ang[imu_i],
+                          sim.imu_acc[imu_i])
+            imu_i += 1
+        pipe.process_scan(header, xyz, pt)
+    st = jax.device_get(pipe.state)
+    assert bool(np.all(np.isfinite(np.asarray(st.p)))), st.p
+    assert bool(np.all(np.isfinite(np.asarray(st.v))))
+    # velocity bounded by the observer clamp
+    assert float(np.linalg.norm(st.v)) <= small_cfg().geo.max_velocity + 1.0
+    # the 4 s drive covers ~8 m of truth; even fully prior-only the
+    # bounded-velocity estimate cannot leave a modest neighborhood
+    assert float(np.linalg.norm(st.p)) < 150.0, st.p
